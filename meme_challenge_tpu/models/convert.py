@@ -1,0 +1,266 @@
+"""torch-checkpoint → flax-pytree converter for UNITER weights.
+
+The reference ships/loads torch ``state_dict`` checkpoints with these quirks
+(model/model.py:148-214, README.md:25-33):
+
+- ``gamma``→``weight`` / ``beta``→``bias`` key renames (TF-era LayerNorm names),
+- a ``bert.`` prefix on raw UNITER pretraining checkpoints that must be
+  stripped when the target model has no ``bert`` attribute,
+- checkpoints wrapped as ``{'model_state_dict': ...}`` (utils/save.py:53-64),
+- fine-tuned MemeUniter checkpoints prefix the trunk with ``uniter_model.``
+  and the head with ``linear.`` (model/meme_uniter.py).
+
+This module reproduces those renames and maps per-layer torch weights into
+the stacked ``[L, ...]`` encoder layout used by
+:class:`meme_challenge_tpu.models.uniter.StackedEncoder`. torch Linear stores
+``weight`` as ``[out, in]``; flax kernels are ``[in, out]`` — transposed here.
+
+Weight tying is structural on the flax side (MLM decode reads the word table,
+MRFR decode reads img_linear), so tied tensors are simply not duplicated.
+"""
+from __future__ import annotations
+
+import re
+from typing import Dict, Mapping, Optional
+
+import numpy as np
+
+from meme_challenge_tpu.core.config import UniterConfig
+
+Params = Dict[str, dict]
+
+
+def load_torch_state_dict(path: str) -> Dict[str, np.ndarray]:
+    """Load a torch checkpoint file into numpy arrays (CPU, no CUDA needed).
+
+    Accepts both raw state_dicts and ``{'model_state_dict': ...}`` wrappers
+    (reference utils/save.py:53-64, README.md:25-33).
+    """
+    import torch  # local import: torch is host-side tooling only
+
+    ckpt = torch.load(path, map_location="cpu", weights_only=False)
+    if isinstance(ckpt, dict) and "model_state_dict" in ckpt:
+        ckpt = ckpt["model_state_dict"]
+    return {k: np.asarray(v.detach().cpu().numpy()) if hasattr(v, "detach")
+            else np.asarray(v) for k, v in ckpt.items()}
+
+
+def rename_reference_keys(sd: Mapping[str, np.ndarray],
+                          strip_prefixes: tuple = ("bert.",)) -> Dict[str, np.ndarray]:
+    """gamma/beta renames + prefix stripping (reference model/model.py:164-200)."""
+    out: Dict[str, np.ndarray] = {}
+    for key, val in sd.items():
+        new_key = key
+        if "gamma" in new_key:
+            new_key = new_key.replace("gamma", "weight")
+        if "beta" in new_key:
+            new_key = new_key.replace("beta", "bias")
+        for p in strip_prefixes:
+            if new_key.startswith(p):
+                new_key = new_key[len(p):]
+        out[new_key] = val
+    return out
+
+
+def _t(w: np.ndarray) -> np.ndarray:
+    """torch Linear [out,in] → flax kernel [in,out]."""
+    return np.ascontiguousarray(w.T)
+
+
+def uniter_trunk_params_from_torch(
+    sd: Mapping[str, np.ndarray],
+    config: UniterConfig,
+    prefix: str = "",
+) -> Params:
+    """Map a (renamed) torch UNITER state_dict onto the flax UniterModel tree.
+
+    ``prefix`` selects the trunk inside larger checkpoints (e.g. ``uniter.``
+    for UniterForPretraining dumps, ``uniter_model.`` for MemeUniter dumps).
+    """
+    g = lambda k: np.asarray(sd[prefix + k], dtype=np.float32)  # noqa: E731
+    L = config.num_hidden_layers
+
+    embeddings = {
+        "word_embeddings": g("embeddings.word_embeddings.weight"),
+        "position_embeddings": g("embeddings.position_embeddings.weight"),
+        "token_type_embeddings": g("embeddings.token_type_embeddings.weight"),
+        "ln_scale": g("embeddings.LayerNorm.weight"),
+        "ln_bias": g("embeddings.LayerNorm.bias"),
+    }
+    img_embeddings = {
+        "img_linear_kernel": _t(g("img_embeddings.img_linear.weight")),
+        "img_linear_bias": g("img_embeddings.img_linear.bias"),
+        "pos_linear_kernel": _t(g("img_embeddings.pos_linear.weight")),
+        "pos_linear_bias": g("img_embeddings.pos_linear.bias"),
+        "img_ln_scale": g("img_embeddings.img_layer_norm.weight"),
+        "img_ln_bias": g("img_embeddings.img_layer_norm.bias"),
+        "pos_ln_scale": g("img_embeddings.pos_layer_norm.weight"),
+        "pos_ln_bias": g("img_embeddings.pos_layer_norm.bias"),
+        "ln_scale": g("img_embeddings.LayerNorm.weight"),
+        "ln_bias": g("img_embeddings.LayerNorm.bias"),
+    }
+    if prefix + "img_embeddings.mask_embedding.weight" in sd:
+        img_embeddings["mask_embedding"] = g("img_embeddings.mask_embedding.weight")
+    else:
+        img_embeddings["mask_embedding"] = np.zeros(
+            (2, config.img_dim), dtype=np.float32)
+
+    def stack(fmt, transpose=False):
+        mats = [np.asarray(sd[prefix + fmt.format(i)], dtype=np.float32)
+                for i in range(L)]
+        if transpose:
+            mats = [m.T for m in mats]
+        return np.ascontiguousarray(np.stack(mats, axis=0))
+
+    encoder = {
+        "q_kernel": stack("encoder.layer.{}.attention.self.query.weight", True),
+        "q_bias": stack("encoder.layer.{}.attention.self.query.bias"),
+        "k_kernel": stack("encoder.layer.{}.attention.self.key.weight", True),
+        "k_bias": stack("encoder.layer.{}.attention.self.key.bias"),
+        "v_kernel": stack("encoder.layer.{}.attention.self.value.weight", True),
+        "v_bias": stack("encoder.layer.{}.attention.self.value.bias"),
+        "attn_out_kernel": stack(
+            "encoder.layer.{}.attention.output.dense.weight", True),
+        "attn_out_bias": stack("encoder.layer.{}.attention.output.dense.bias"),
+        "attn_ln_scale": stack(
+            "encoder.layer.{}.attention.output.LayerNorm.weight"),
+        "attn_ln_bias": stack("encoder.layer.{}.attention.output.LayerNorm.bias"),
+        "ffn_in_kernel": stack("encoder.layer.{}.intermediate.dense.weight", True),
+        "ffn_in_bias": stack("encoder.layer.{}.intermediate.dense.bias"),
+        "ffn_out_kernel": stack("encoder.layer.{}.output.dense.weight", True),
+        "ffn_out_bias": stack("encoder.layer.{}.output.dense.bias"),
+        "ffn_ln_scale": stack("encoder.layer.{}.output.LayerNorm.weight"),
+        "ffn_ln_bias": stack("encoder.layer.{}.output.LayerNorm.bias"),
+    }
+    pooler = {
+        "dense": {
+            "kernel": _t(g("pooler.dense.weight")),
+            "bias": g("pooler.dense.bias"),
+        }
+    }
+    return {
+        "embeddings": embeddings,
+        "img_embeddings": img_embeddings,
+        "encoder": encoder,
+        "pooler": pooler,
+    }
+
+
+def meme_uniter_params_from_torch(
+    sd: Mapping[str, np.ndarray],
+    config: UniterConfig,
+    classifier_prefix: str = "linear.",
+    trunk_prefix: str = "uniter_model.",
+) -> Params:
+    """Fine-tuned MemeUniter checkpoint → flax params (model/meme_uniter.py)."""
+    sd = rename_reference_keys(sd, strip_prefixes=())
+    trunk = uniter_trunk_params_from_torch(sd, config, prefix=trunk_prefix)
+    params: Params = {"uniter": trunk}
+    if classifier_prefix + "weight" in sd:
+        params["classifier"] = {
+            "kernel": _t(np.asarray(sd[classifier_prefix + "weight"],
+                                    dtype=np.float32)),
+            "bias": np.asarray(sd[classifier_prefix + "bias"], dtype=np.float32),
+        }
+    return params
+
+
+def pretrain_params_from_torch(
+    sd: Mapping[str, np.ndarray],
+    config: UniterConfig,
+) -> Params:
+    """Raw UNITER pretraining checkpoint → flax UniterForPretraining params.
+
+    Mirrors reference TrainerUniter.init_model (train_uniter.py:22-34):
+    the raw ckpt may carry a ``bert.`` prefix (stripped) and may or may not
+    contain the pretraining heads (missing heads stay at init).
+    """
+    sd = rename_reference_keys(sd, strip_prefixes=("bert.",))
+    has_trunk_prefix = any(k.startswith("uniter.") for k in sd)
+    trunk_prefix = "uniter." if has_trunk_prefix else ""
+    params: Params = {
+        "uniter": uniter_trunk_params_from_torch(sd, config, prefix=trunk_prefix)
+    }
+
+    def has(k):
+        return k in sd
+
+    def g(k):
+        return np.asarray(sd[k], dtype=np.float32)
+
+    if has("cls.predictions.transform.dense.weight"):
+        params["mlm_head"] = {
+            "transform_dense": {
+                "kernel": _t(g("cls.predictions.transform.dense.weight")),
+                "bias": g("cls.predictions.transform.dense.bias"),
+            },
+            "transform_ln_scale": g("cls.predictions.transform.LayerNorm.weight"),
+            "transform_ln_bias": g("cls.predictions.transform.LayerNorm.bias"),
+            "bias": g("cls.predictions.bias"),
+        }
+    if has("feat_regress.net.0.weight"):
+        params["feat_regress"] = {
+            "net_dense": {
+                "kernel": _t(g("feat_regress.net.0.weight")),
+                "bias": g("feat_regress.net.0.bias"),
+            },
+            "net_ln_scale": g("feat_regress.net.2.weight"),
+            "net_ln_bias": g("feat_regress.net.2.bias"),
+            "bias": g("feat_regress.bias"),
+        }
+    if has("region_classifier.net.0.weight"):
+        params["region_classifier"] = {
+            "net_dense": {
+                "kernel": _t(g("region_classifier.net.0.weight")),
+                "bias": g("region_classifier.net.0.bias"),
+            },
+            "net_ln_scale": g("region_classifier.net.2.weight"),
+            "net_ln_bias": g("region_classifier.net.2.bias"),
+            "net_out": {
+                "kernel": _t(g("region_classifier.net.3.weight")),
+                "bias": g("region_classifier.net.3.bias"),
+            },
+        }
+    if has("itm_output.weight"):
+        params["itm_output"] = {
+            "kernel": _t(g("itm_output.weight")),
+            "bias": g("itm_output.bias"),
+        }
+    return params
+
+
+def hf_bert_params_to_uniter_trunk(
+    sd: Mapping[str, np.ndarray],
+    config: UniterConfig,
+) -> Params:
+    """Map a HuggingFace ``BertModel`` state_dict onto the UNITER trunk.
+
+    UNITER's text path *is* BERT (reference model/layer.py header), so an HF
+    BERT checkpoint initializes everything except the image embeddings.
+    Used by the text-only baselines and the parity tests.
+    """
+    sd = rename_reference_keys(sd, strip_prefixes=("bert.",))
+    trunk = uniter_trunk_params_from_torch(
+        _with_zero_image_embeddings(sd, config), config)
+    return trunk
+
+
+def _with_zero_image_embeddings(sd: Mapping[str, np.ndarray],
+                                config: UniterConfig) -> Dict[str, np.ndarray]:
+    out = dict(sd)
+    H = config.hidden_size
+    defaults = {
+        "img_embeddings.img_linear.weight": np.zeros((H, config.img_dim), np.float32),
+        "img_embeddings.img_linear.bias": np.zeros((H,), np.float32),
+        "img_embeddings.pos_linear.weight": np.zeros((H, config.pos_dim), np.float32),
+        "img_embeddings.pos_linear.bias": np.zeros((H,), np.float32),
+        "img_embeddings.img_layer_norm.weight": np.ones((H,), np.float32),
+        "img_embeddings.img_layer_norm.bias": np.zeros((H,), np.float32),
+        "img_embeddings.pos_layer_norm.weight": np.ones((H,), np.float32),
+        "img_embeddings.pos_layer_norm.bias": np.zeros((H,), np.float32),
+        "img_embeddings.LayerNorm.weight": np.ones((H,), np.float32),
+        "img_embeddings.LayerNorm.bias": np.zeros((H,), np.float32),
+    }
+    for k, v in defaults.items():
+        out.setdefault(k, v)
+    return out

@@ -1,0 +1,30 @@
+"""Test harness config.
+
+Tests run on CPU with 8 virtual XLA devices — the TPU-native substitute for a
+fake distributed backend (SURVEY.md §4): multi-chip sharding logic compiles
+and executes on the virtual mesh without real hardware. Must be set before
+jax initializes.
+"""
+import os
+
+os.environ.setdefault("JAX_PLATFORMS", "cpu")
+xla_flags = os.environ.get("XLA_FLAGS", "")
+if "xla_force_host_platform_device_count" not in xla_flags:
+    os.environ["XLA_FLAGS"] = (
+        xla_flags + " --xla_force_host_platform_device_count=8").strip()
+os.environ.setdefault("HF_HUB_OFFLINE", "1")
+os.environ.setdefault("TRANSFORMERS_OFFLINE", "1")
+
+import jax  # noqa: E402
+import numpy as np  # noqa: E402
+import pytest  # noqa: E402
+
+# XLA CPU's default matmul precision is a bf16 fastmath path (~1e-2 relative
+# error); parity tests need true fp32 accumulation. On TPU the perf path is
+# an explicit bfloat16 compute dtype, not implicit downcasts.
+jax.config.update("jax_default_matmul_precision", "highest")
+
+
+@pytest.fixture
+def rng():
+    return np.random.RandomState(0)
