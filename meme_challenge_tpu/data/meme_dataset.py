@@ -87,12 +87,30 @@ class MemeDataset:
         feature_dtype=np.float16,
         img_dim: int = IMG_DIM,
     ):
-        assert os.path.isfile(filepath), (
-            'Dataset file cannot be found: "%s".' % filepath)
-        assert filepath.endswith(".jsonl"), (
-            'The filepath requires a JSON list file (".jsonl"): "%s"' % filepath)
-        self.filepath = filepath
-        self.name = filepath.split("/")[-1].split(".")[0]
+        records = None
+        if isinstance(filepath, (list, tuple)):
+            # merged corpus (pretraining: train + dev_seen [+ memotion],
+            # reference data/pretrain_meme_dataset.py:65-92)
+            records = []
+            for path in filepath:
+                assert os.path.isfile(path), (
+                    'Dataset file cannot be found: "%s".' % path)
+                assert path.endswith(".jsonl"), (
+                    'The filepath requires a JSON list file (".jsonl"): '
+                    '"%s"' % path)
+                with open(path, "r") as f:
+                    records.extend(json.loads(l) for l in f if l.strip())
+            self.filepath = filepath[0]
+            self.name = "+".join(
+                p.split("/")[-1].split(".")[0] for p in filepath)
+        else:
+            assert os.path.isfile(filepath), (
+                'Dataset file cannot be found: "%s".' % filepath)
+            assert filepath.endswith(".jsonl"), (
+                'The filepath requires a JSON list file (".jsonl"): "%s"'
+                % filepath)
+            self.filepath = filepath
+            self.name = filepath.split("/")[-1].split(".")[0]
         self.feature_dir = feature_dir
         self.text_only = text_only
         self.return_ids = return_ids
@@ -101,8 +119,9 @@ class MemeDataset:
         self.img_dim = img_dim
         self.confidence_threshold = confidence_threshold
 
-        with open(filepath, "r") as f:
-            records = [json.loads(line) for line in f if line.strip()]
+        if records is None:
+            with open(filepath, "r") as f:
+                records = [json.loads(line) for line in f if line.strip()]
         self.ids = np.array([int(r["id"]) for r in records], dtype=np.int64)
         self.labels = np.array([r.get("label", -1) for r in records],
                                dtype=np.int64)

@@ -1,0 +1,283 @@
+"""Pretraining task datasets + multi-task loader.
+
+Capability parity with reference data/pretrain_{meme_dataset,mlm,itm,mrfr}.py
+in static-shape form:
+
+- **corpus**: train.jsonl + dev_seen.jsonl (+ Memotion all.jsonl with
+  ``use_memotion``) merged into one ``MemeDataset``
+  (reference pretrain_meme_dataset.py:65-92).
+- **MLM** (pretrain_mlm.py:35-69): BERT-style masking — 15% of non-special
+  tokens; among those 80% → [MASK], 10% → random vocab id, 10% kept; labels
+  −1 elsewhere; at least one masked position guaranteed (positions [1]).
+  The nested-probability trick (``prob /= mask_prob``) is reproduced so the
+  RNG stream matches the reference draw-for-draw.
+- **ITM** (pretrain_itm.py:27-47): with ``replace_prob``, swap in a
+  *different* sample's text (resampling on text collisions), label 0/1. The
+  vestigial ``ot_inputs`` placeholder is dropped — OT runs through
+  models/ot.py directly.
+- **MRFR** (pretrain_mrfr.py:29-51): Bernoulli region mask with an
+  at-least-one guarantee; masked features zeroed; regression targets kept
+  densely as ``feat_targets`` (the dense-mask equivalent of the reference's
+  compacted target rows).
+- **MRC** — *extension*: the reference ships the MRC head
+  (model/pretrain.py:205-233) but no dataset; here detector classes
+  (``objects``/``objects_conf``) become one-hot-confidence soft labels.
+- **MetaLoader** (pretrain_meme_dataset.py:21-58): infinite random task
+  sampling over named loaders with optional ratios, task held fixed for
+  ``accum_steps``.
+
+All task batches are static ``[B, T]`` / ``[B, R]`` shapes; masking happens
+host-side with the global python RNG (reference seed discipline).
+"""
+from __future__ import annotations
+
+import os
+import random
+from typing import Dict, Iterator, List, Optional, Tuple
+
+import numpy as np
+
+from meme_challenge_tpu.core.constants import IMG_LABEL_DIM
+from meme_challenge_tpu.data.meme_dataset import BatchLoader, MemeDataset
+
+
+def pretrain_corpus(
+    data_path: str,
+    feature_dir: str,
+    tokenizer,
+    use_memotion: bool = False,
+    **kwargs,
+) -> MemeDataset:
+    """Merged pretraining corpus (reference Pretrain_MemeDataset)."""
+    paths = [os.path.join(data_path, "train.jsonl"),
+             os.path.join(data_path, "dev_seen.jsonl")]
+    if use_memotion:
+        paths.append(os.path.join(data_path, "memotion_dataset", "all.jsonl"))
+    return MemeDataset(paths, feature_dir=feature_dir, tokenizer=tokenizer,
+                       **kwargs)
+
+
+def mask_tokens_bert(
+    token_ids: np.ndarray,
+    attn_mask: np.ndarray,
+    rng: random.Random,
+    mask_prob: float,
+    mask_token: int,
+    vocab_range: Tuple[int, int],
+    special_ids: Tuple[int, ...],
+) -> Tuple[np.ndarray, np.ndarray]:
+    """BERT 80/10/10 masking of one sequence (reference pretrain_mlm.py:35-69).
+
+    Reproduces the reference's RNG pattern: one uniform draw per token,
+    renormalized (``prob /= mask_prob``) to choose the 80/10/10 branch.
+    Padding/CLS/SEP positions get label −1.
+    """
+    tokens = token_ids.copy()
+    labels = np.full_like(tokens, -1)
+    n = int(attn_mask.sum())
+    for i in range(len(tokens)):
+        token = int(tokens[i])
+        if i >= n or token in special_ids:
+            continue
+        prob = rng.random()
+        if prob < mask_prob:
+            prob /= mask_prob
+            if prob < 0.8:
+                tokens[i] = mask_token
+            elif prob < 0.9:
+                tokens[i] = rng.choice(range(*vocab_range))
+            labels[i] = token
+    if (labels == -1).all():
+        # at least mask one: the first word after [CLS]
+        labels[1] = tokens[1]
+        tokens[1] = mask_token
+    return tokens, labels
+
+
+class MLMBatcher:
+    """Wraps a corpus loader; applies MLM masking per batch."""
+
+    def __init__(self, dataset: MemeDataset, tokenizer, mask_prob: float = 0.15,
+                 vocab_range: Optional[Tuple[int, int]] = None):
+        self.dataset = dataset
+        self.tokenizer = tokenizer
+        self.mask_prob = mask_prob
+        # random-replacement ids skip the special-token block at the vocab
+        # start (the reference passes an explicit vocab_range the same way)
+        self.vocab_range = vocab_range or (5, tokenizer.vocab_size)
+        self.special_ids = (tokenizer.cls_id, tokenizer.sep_id,
+                            tokenizer.pad_id)
+
+    def __call__(self, batch: Dict[str, np.ndarray]) -> Dict[str, np.ndarray]:
+        input_ids = batch["input_ids"].copy()
+        txt_labels = np.full_like(input_ids, -1)
+        for i in range(input_ids.shape[0]):
+            input_ids[i], txt_labels[i] = mask_tokens_bert(
+                input_ids[i], batch["txt_mask"][i], random, self.mask_prob,
+                self.tokenizer.mask_id, self.vocab_range, self.special_ids)
+        out = dict(batch)
+        out["input_ids"] = input_ids
+        out["txt_labels"] = txt_labels
+        return out
+
+
+class ITMBatcher:
+    """Replaces text with another sample's w.p. replace_prob → target 0/1."""
+
+    def __init__(self, dataset: MemeDataset, replace_prob: float = 0.5):
+        self.dataset = dataset
+        self.replace_prob = replace_prob
+
+    def __call__(self, batch: Dict[str, np.ndarray],
+                 indices: np.ndarray) -> Dict[str, np.ndarray]:
+        ds = self.dataset
+        out = dict(batch)
+        input_ids = batch["input_ids"].copy()
+        txt_mask = batch["txt_mask"].copy()
+        targets = np.ones(len(indices), dtype=np.int64)
+        n = len(ds)
+        for row, idx in enumerate(indices):
+            if random.random() < self.replace_prob:
+                while True:
+                    rand_idx = random.choice(
+                        [i for i in range(n) if i != idx])
+                    if ds.texts[idx] != ds.texts[rand_idx]:
+                        break
+                input_ids[row] = ds.input_ids[rand_idx]
+                txt_mask[row] = ds.txt_mask[rand_idx]
+                targets[row] = 0
+        out["input_ids"] = input_ids
+        out["txt_mask"] = txt_mask
+        out["targets"] = targets
+        return out
+
+
+class MRFRBatcher:
+    """Bernoulli region masks (≥1 per sample), zeroed features, dense targets."""
+
+    def __init__(self, dataset: MemeDataset, mask_prob: float = 0.15):
+        self.dataset = dataset
+        self.mask_prob = mask_prob
+
+    def __call__(self, batch: Dict[str, np.ndarray]) -> Dict[str, np.ndarray]:
+        out = dict(batch)
+        img_mask = batch["img_mask"]
+        B, R = img_mask.shape
+        img_masks = np.zeros((B, R), dtype=np.int32)
+        for i in range(B):
+            nbb = int(img_mask[i].sum())
+            if nbb == 0:
+                continue
+            flags = [random.random() < self.mask_prob for _ in range(nbb)]
+            if not any(flags):
+                flags[random.choice(range(nbb))] = True
+            img_masks[i, :nbb] = np.asarray(flags, dtype=np.int32)
+        feat = batch["img_feat"]
+        out["feat_targets"] = feat
+        out["img_feat"] = np.where(img_masks[..., None].astype(bool), 0.0,
+                                   feat)
+        out["img_masks"] = img_masks
+        return out
+
+
+class MRCBatcher:
+    """Region-classification soft labels from detector outputs (extension —
+    the reference has the head but no data path; SURVEY.md §2 quirks)."""
+
+    def __init__(self, dataset: MemeDataset, mask_prob: float = 0.15,
+                 label_dim: int = IMG_LABEL_DIM):
+        self.dataset = dataset
+        self.mask_prob = mask_prob
+        self.label_dim = label_dim
+        self._mrfr = MRFRBatcher(dataset, mask_prob)
+
+    def __call__(self, batch: Dict[str, np.ndarray],
+                 indices: np.ndarray) -> Dict[str, np.ndarray]:
+        out = self._mrfr(batch)
+        del out["feat_targets"]
+        B, R = batch["img_mask"].shape
+        labels = np.zeros((B, R, self.label_dim), dtype=np.float32)
+        for row, idx in enumerate(indices):
+            objs = self.dataset.objects[idx]
+            # detector class ids are 0-based over 1600 fg classes; +1 leaves
+            # index 0 as background (reference pretrain.py:228-230)
+            for r, obj in enumerate(objs[:R]):
+                labels[row, min(r, R - 1), int(obj) + 1] = 1.0
+        out["label_targets"] = labels
+        return out
+
+
+class TaskLoader:
+    """One pretraining task = corpus loader + batcher; yields task batches."""
+
+    def __init__(self, name: str, dataset: MemeDataset, batch_size: int,
+                 batcher, needs_indices: bool = False):
+        self.name = name
+        self.dataset = dataset
+        self.batch_size = batch_size
+        self.batcher = batcher
+        self.needs_indices = needs_indices
+
+    def __len__(self) -> int:
+        return (len(self.dataset) + self.batch_size - 1) // self.batch_size
+
+    def __iter__(self) -> Iterator[Dict[str, np.ndarray]]:
+        order = list(range(len(self.dataset)))
+        random.shuffle(order)
+        bs = self.batch_size
+        for start in range(0, len(order), bs):
+            chunk = np.asarray(order[start:start + bs])
+            valid = chunk.shape[0]
+            if valid < bs:
+                chunk = np.concatenate(
+                    [chunk, np.full(bs - valid, chunk[0], dtype=np.int64)])
+            batch = self.dataset.batch(chunk)
+            batch.pop("ids", None)
+            batch.pop("labels", None)
+            mask = np.zeros(bs, dtype=np.int32)
+            mask[:valid] = 1
+            batch["sample_mask"] = mask
+            if self.needs_indices:
+                yield self.batcher(batch, chunk)
+            else:
+                yield self.batcher(batch)
+
+
+class MetaLoader:
+    """Random multi-task sampling (reference MetaLoader,
+    pretrain_meme_dataset.py:21-58): infinite iterator; the chosen task is
+    held fixed for ``accum_steps`` consecutive batches."""
+
+    def __init__(self, loaders: Dict[str, object], accum_steps: int = 1):
+        assert isinstance(loaders, dict)
+        self.name2loader = {}
+        self.name2iter = {}
+        self.sampling_pools: List[str] = []
+        for name, l in loaders.items():
+            if isinstance(l, tuple):
+                l, ratio = l
+            else:
+                ratio = 1
+            self.name2loader[name] = l
+            self.name2iter[name] = iter(l)
+            self.sampling_pools.extend([name] * ratio)
+        self.accum_steps = accum_steps
+        self.step = 0
+
+    def __iter__(self):
+        task = self.sampling_pools[0]
+        while True:
+            if self.step % self.accum_steps == 0:
+                task = random.choice(self.sampling_pools)
+            self.step += 1
+            it = self.name2iter[task]
+            try:
+                batch = next(it)
+            except StopIteration:
+                it = iter(self.name2loader[task])
+                batch = next(it)
+                self.name2iter[task] = it
+            yield task, batch
+
+    def __len__(self) -> int:
+        return sum(len(l) for l in self.name2loader.values())

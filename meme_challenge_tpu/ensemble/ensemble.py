@@ -1,0 +1,331 @@
+"""Ensemble weight search over per-fold prediction CSVs.
+
+Capability parity with reference utils/ensemble.py: id alignment with
+missing→−1 masking, weighted mixing in probability- or logit-space,
+brute-force grid search ({0, 0.5, 1, 2}^F capped at 10k candidates) and an
+evolutionary search (population 512 × 100 generations, tournament-3,
+uniform crossover, Gaussian/scale mutation, score-seeded init, stagnation
+reinit) — the reference needs the DEAP library for the EA
+(utils/ensemble.py:25-30); here it is self-contained.
+
+TPU-native difference: every candidate's AUROC is evaluated on device in
+batched vmapped calls (ops/device_metrics.py) instead of ~60k sequential
+sklearn calls. Tie-breaking of the brute-force scan (first candidate in
+enumeration order wins; logit-space tried before prob-space per candidate,
+reference ensemble.py:193-203) is preserved exactly.
+"""
+from __future__ import annotations
+
+import logging
+import os
+import random
+from copy import copy
+from itertools import product
+from typing import Dict, List, Sequence, Tuple
+
+import numpy as np
+import jax.numpy as jnp
+
+from meme_challenge_tpu.core.artifacts import load_predictions
+from meme_challenge_tpu.core.metrics import aucroc, find_optimal_threshold
+from meme_challenge_tpu.ops.device_metrics import (
+    ensemble_prediction as _device_mix,
+    ensemble_scores,
+)
+
+logger = logging.getLogger("meme_challenge_tpu.ensemble")
+
+
+# ----------------------------------------------------------------- alignment
+
+def align_ids(csv_dicts: List[Dict[str, np.ndarray]]) -> List[dict]:
+    """Union-of-ids alignment with missing→−1 (reference ensemble.py:130-141)."""
+    all_ids = np.array(sorted({int(e) for d in csv_dicts
+                               for e in d["id"].tolist()}))
+    aligned = []
+    labels = np.full(all_ids.shape[0], -1, dtype=np.int64)
+    for d in csv_dicts:
+        id_to_row = {int(i): r for r, i in enumerate(d["id"])}
+        proba = np.full(all_ids.shape[0], -1.0)
+        label = np.full(all_ids.shape[0], -1, dtype=np.int64)
+        for r, data_id in enumerate(all_ids):
+            row = id_to_row.get(int(data_id))
+            if row is not None:
+                proba[r] = d["proba"][row]
+                label[r] = d["label"][row]
+                if "gt" in d:
+                    gt = int(d["gt"][row])
+                    assert labels[r] in (-1, gt), (
+                        "Label mismatch in the predictions. Something must "
+                        "be wrong with the predictions.")
+                    labels[r] = gt
+        aligned.append({"orig": d, "id": all_ids, "proba": proba,
+                        "label": label})
+    for d in aligned:
+        d["gt"] = labels
+    return aligned
+
+
+def create_ensemble_prediction(predictions, weights,
+                               on_logits: bool = False) -> np.ndarray:
+    """Host wrapper over the device mixing op (semantics of reference
+    ensemble.py:157-177)."""
+    if isinstance(predictions, list):
+        predictions = np.stack(predictions, axis=0)
+    weights = np.asarray(weights, dtype=np.float64)
+    return np.asarray(_device_mix(jnp.asarray(predictions, jnp.float32),
+                                  jnp.asarray(weights, jnp.float32),
+                                  on_logits))
+
+
+def export_csv(csv_dict: dict, csv_file: str) -> None:
+    """Column export in dict order (reference ensemble.py:144-155)."""
+    csv_dict = {k: v for k, v in csv_dict.items() if k != "orig"}
+    header = list(csv_dict.keys())
+    lines = [",".join(header)]
+    n = len(csv_dict[header[0]])
+    for i in range(n):
+        cells = []
+        for key in header:
+            v = csv_dict[key][i]
+            cells.append("%f" % v if isinstance(v, (float, np.floating))
+                         else "%i" % v)
+        lines.append(",".join(cells))
+    with open(csv_file, "w") as f:
+        f.write("\n".join(lines) + "\n")
+
+
+# -------------------------------------------------------------- brute force
+
+def brute_force_finder(predictions: np.ndarray, labels: np.ndarray,
+                       num_weights: int,
+                       weight_range: Sequence[float] = (0.0, 0.5, 1.0, 2.0),
+                       max_weights: int = 10000,
+                       batch: int = 2048) -> Tuple[float, dict]:
+    """Grid search with the reference's candidate enumeration + tie-breaking
+    (ensemble.py:180-203), scored on device in batches."""
+    if (np.log(len(weight_range)) * num_weights) < np.log(2e7):
+        weight_tuples = [list(w) for w in product(weight_range,
+                                                  repeat=num_weights)]
+        if len(weight_tuples) > max_weights:
+            logger.info("[Weight search] limiting %i weight tuples to %i",
+                        len(weight_tuples), max_weights)
+            random.seed(42)
+            random.shuffle(weight_tuples)
+            weight_tuples = weight_tuples[:max_weights]
+    else:
+        np.random.seed(42)
+        rand_idx = np.random.randint(0, len(weight_range),
+                                     size=(max_weights, num_weights))
+        weight_tuples = [[weight_range[rand_idx[m, n]]
+                          for n in range(num_weights)]
+                         for m in range(max_weights)]
+
+    preds_dev = jnp.asarray(predictions, jnp.float32)
+    labels_dev = jnp.asarray(labels)
+    best_score, best_idx = -1.0, None  # flat index into (tuple, space) order
+    for start in range(0, len(weight_tuples), batch):
+        chunk = np.asarray(weight_tuples[start:start + batch], np.float32)
+        scores = np.asarray(ensemble_scores(preds_dev, jnp.asarray(chunk),
+                                            labels_dev))  # [2, k]
+        # enumeration order: tuple-major, logit before prob (strict >)
+        flat = scores.T.reshape(-1)  # [(k0,logit),(k0,prob),(k1,logit)...]
+        i = int(np.argmax(flat))
+        if flat[i] > best_score:
+            best_score = float(flat[i])
+            best_idx = (start + i // 2, i % 2 == 0)
+    tuple_idx, on_logits = best_idx
+    best_config = {"weights": list(weight_tuples[tuple_idx]),
+                   "on_logits": bool(on_logits)}
+    logger.info("[Weight search] best brute-force score %4.2f%% with %s",
+                best_score * 100.0, best_config)
+    return best_score, best_config
+
+
+# ------------------------------------------------------------------------ EA
+
+def _tournament(population, fits, k, tournsize=3):
+    out = []
+    for _ in range(k):
+        aspirants = [random.randrange(len(population))
+                     for _ in range(tournsize)]
+        best = max(aspirants, key=lambda i: fits[i])
+        out.append(list(population[best]))
+    return out
+
+
+def _mutate(ind, min_weight, max_weight):
+    """Reference mutation (ensemble.py:206-220): 20% global scale around 1,
+    else Gaussian jitter with σ~U(0.02, 0.2) per-gene p=0.8; clip; snap
+    small weights to 0 half the time."""
+    if random.random() < 0.2:
+        scale = random.uniform(0.5, 2.0)
+        ind = [(w - 1) * scale + 1 for w in ind]
+    else:
+        sigma = random.uniform(0.02, 0.2)
+        ind = [w + random.gauss(0.0, sigma) if random.random() < 0.8 else w
+               for w in ind]
+    out = []
+    for w in ind:
+        w = min(max(w, min_weight), max_weight)
+        if w < 0.2 and random.random() < 0.5:
+            w = 0.0
+        out.append(w)
+    return out
+
+
+def _init_individual(individual_scores, min_weight, max_weight):
+    """Score-seeded init (reference ind_init, ensemble.py:223-232)."""
+    if random.random() > 0.5:
+        ind = [random.gauss(1.0, 0.3) for _ in individual_scores]
+    else:
+        mn, mx = min(individual_scores), max(individual_scores)
+        norm = [(e - mn + 0.01) / (mx - mn) if mx > mn else 1.0
+                for e in individual_scores]
+        s = sum(norm)
+        ind = [random.gauss(e / s * len(norm), 0.3) for e in norm]
+    return [min(max(min_weight, w), max_weight) for w in ind]
+
+
+def ea_ensemble_finder(predictions: np.ndarray, labels: np.ndarray,
+                       num_weights: int,
+                       individual_scores: Sequence[float],
+                       population_size: int = 512,
+                       min_weight: float = 0.0, max_weight: float = 4.0,
+                       num_generations: int = 100,
+                       cxpb: float = 0.5, mutpb: float = 0.9
+                       ) -> Tuple[float, dict]:
+    """(μ+λ) EA with the reference's DEAP hyperparameters
+    (ensemble.py:235-272); fitness = logit-space AUROC, batched on device."""
+    preds_dev = jnp.asarray(predictions, jnp.float32)
+    labels_dev = jnp.asarray(labels)
+
+    def fitness(pop: List[List[float]]) -> np.ndarray:
+        scores = ensemble_scores(preds_dev,
+                                 jnp.asarray(np.asarray(pop, np.float32)),
+                                 labels_dev)
+        return np.asarray(scores)[0]  # logit-space row
+
+    def new_population():
+        return [_init_individual(individual_scores, min_weight, max_weight)
+                for _ in range(population_size)]
+
+    population = new_population()
+    fits = fitness(population)
+    hof_ind = list(population[int(np.argmax(fits))])
+    hof_fit = float(np.max(fits))
+    best_score, best_gen = -1.0, 0
+
+    for gen in range(num_generations):
+        parents = _tournament(population, fits, k=len(population))
+        # varAnd: pairwise uniform crossover then mutation
+        offspring = [list(p) for p in parents]
+        for i in range(1, len(offspring), 2):
+            if random.random() < cxpb:
+                a, b = offspring[i - 1], offspring[i]
+                for g in range(num_weights):
+                    if random.random() < 0.5:
+                        a[g], b[g] = b[g], a[g]
+        for i in range(len(offspring)):
+            if random.random() < mutpb:
+                offspring[i] = _mutate(offspring[i], min_weight, max_weight)
+        off_fits = fitness(offspring)
+        merged = population + offspring
+        merged_fits = np.concatenate([fits, off_fits])
+        sel = _tournament(merged, merged_fits, k=population_size)
+        # recompute selected fitness by identity lookup is wasteful; select
+        # indices instead
+        population = sel
+        fits = fitness(population)
+        gen_best = int(np.argmax(merged_fits))
+        if float(merged_fits[gen_best]) > hof_fit:
+            hof_fit = float(merged_fits[gen_best])
+            hof_ind = list(merged[gen_best])
+        if hof_fit > best_score:
+            best_score = hof_fit
+            best_gen = gen
+        elif (gen - best_gen) >= 50:
+            logger.info("[EA search] Reinitialize population")
+            population = new_population()
+            fits = fitness(population)
+            best_gen = gen
+        if (gen + 1) % 20 == 0:
+            logger.info("[EA search] %i generations, max %4.2f%%",
+                        gen + 1, hof_fit * 100.0)
+    return hof_fit, {"weights": hof_ind, "on_logits": True}
+
+
+# ----------------------------------------------------------------- pipeline
+
+def find_ensemble(dev_files: List[str], test_files,
+                  weight_range=(0.0, 0.5, 1.0, 2.0),
+                  max_weights: int = 10000,
+                  run_ea: bool = True,
+                  ea_generations: int = 100) -> dict:
+    """Full search + export pipeline (reference find_ensemble,
+    utils/ensemble.py:35-112). Returns the best config."""
+    dev_preds = [load_predictions(f) for f in dev_files]
+    dev_preds = align_ids(dev_preds)
+    dev_gt = dev_preds[0]["gt"]
+    dev_scores = [aucroc(d["orig"]["proba"], d["orig"]["gt"])
+                  for d in dev_preds]
+    logger.info("Individual scores: %s",
+                ", ".join("%4.2f%%" % (100.0 * s) for s in dev_scores))
+
+    output_dir = os.path.dirname(dev_files[0]) or "."
+    base = os.path.basename(dev_files[0])
+    # filename parsing parity (reference ensemble.py:42-48)
+    if base.endswith("_00_preds.csv"):
+        dev_name = "_".join(base.rsplit("_", 4)[-4:-1])
+        model_name = base.rsplit("_", 6)[0]
+    else:
+        dev_name = "_".join(base.rsplit("_", 3)[-3:-1])
+        model_name = base.rsplit("_", 5)[0]
+    logger.info("Model name: %s", model_name)
+
+    predictions = np.stack([d["proba"] for d in dev_preds], axis=0)
+    best_score, best_config = brute_force_finder(
+        predictions, dev_gt, num_weights=len(dev_preds),
+        weight_range=weight_range, max_weights=max_weights)
+    if run_ea:
+        logger.info("Starting EA to find optimal weights...")
+        ea_score, ea_config = ea_ensemble_finder(
+            predictions, dev_gt, num_weights=len(dev_preds),
+            individual_scores=dev_scores, num_generations=ea_generations)
+        if ea_score > best_score:
+            logger.info("Found better config with EA: %s", ea_config)
+            best_score, best_config = ea_score, ea_config
+
+    best_dict = copy(dev_preds[0])
+    best_dict["proba"] = create_ensemble_prediction(
+        predictions, best_config["weights"], best_config["on_logits"])
+    threshold = find_optimal_threshold(best_dict["proba"], dev_gt)
+    logger.info("Using threshold %4.3f for discrete predictions.", threshold)
+    best_dict["label"] = (best_dict["proba"] > threshold).astype(np.int32)
+    export_csv(best_dict, os.path.join(
+        output_dir, model_name + "_" + dev_name + "_ensemble.csv"))
+    best_acc = float((best_dict["label"] == dev_gt).mean())
+    logger.info("Best score on %s: %4.2f%% (accuracy=%4.2f%%)",
+                dev_name, best_score * 100.0, best_acc * 100.0)
+
+    if test_files and not isinstance(test_files[0], list):
+        test_files = [test_files]
+    for test_list in (test_files or []):
+        tbase = os.path.basename(test_list[0])
+        test_name = "_".join(tbase.rsplit("_", 3)[-3:-1])
+        test_model_name = tbase.rsplit("_", 5)[0]
+        test_preds = [load_predictions(f) for f in test_list]
+        preds = create_ensemble_prediction(
+            [d["proba"] for d in test_preds],
+            best_config["weights"], best_config["on_logits"])
+        test_dict = copy(test_preds[0])
+        test_dict["proba"] = preds
+        test_dict["label"] = (preds > threshold).astype(np.int32)
+        if "gt" in test_dict:
+            score = aucroc(test_dict["proba"], test_dict["gt"])
+            logger.info("Ensemble score on %s: %4.2f%%",
+                        test_name, score * 100.0)
+        export_csv(test_dict, os.path.join(
+            output_dir, test_model_name + "_" + test_name + "_ensemble.csv"))
+    return {"score": best_score, "config": best_config,
+            "threshold": threshold}

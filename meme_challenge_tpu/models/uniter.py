@@ -526,7 +526,17 @@ class UniterForPretraining(nn.Module):
 
     def __call__(self, batch: Dict[str, Array], task: str,
                  deterministic: bool = True):
-        """Dispatch on task exactly like reference pretrain.py:65-105."""
+        """Dispatch on task exactly like reference pretrain.py:65-105.
+
+        ``task="init"`` touches every head once so ``model.init`` creates the
+        full parameter tree (flax creates params lazily per code path).
+        """
+        if task == "init":
+            out = self.forward_mlm(batch, deterministic)
+            self.forward_mrfr(batch, deterministic)
+            self.forward_itm(batch, deterministic)
+            self.forward_mrc(batch, "mrc", deterministic)
+            return out
         if task == "mlm":
             return self.forward_mlm(batch, deterministic)
         if task == "mrfr":

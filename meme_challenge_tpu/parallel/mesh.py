@@ -1,0 +1,108 @@
+"""Device-mesh setup and sharding rules.
+
+The reference's only parallelism is single-process ``nn.DataParallel`` plus
+NCCL for the detector (SURVEY.md §2.3). The TPU-native parallel layer is
+richer and expressed *entirely* through ``jax.sharding`` — XLA inserts all
+collectives over ICI/DCN; there is no hand-written communication:
+
+- **fold**: the repo's real scale axis — 15 crossval folds are independent
+  training problems sharded across the mesh (fold_parallel.py);
+- **data**: batch-dimension data parallelism within a fold (psum gradients);
+- **model**: tensor parallelism for the encoder's hidden/intermediate
+  projections — unnecessary for 110M/340M params but exposed as first-class
+  sharding rules (SURVEY.md §2.3).
+"""
+from __future__ import annotations
+
+from typing import Optional, Sequence, Tuple
+
+import jax
+import numpy as np
+from jax.experimental import mesh_utils
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+
+def make_mesh(shape: Sequence[int] = (),
+              axes: Sequence[str] = ("fold", "data"),
+              devices: Optional[Sequence] = None) -> Mesh:
+    """Build a Mesh over the available devices.
+
+    Empty shape → all devices on the first axis. On multi-host, call
+    ``jax.distributed.initialize()`` first; devices here are global.
+    """
+    if devices is None:
+        devices = jax.devices()
+    if not shape:
+        shape = (len(devices),)
+        axes = axes[:1]
+    assert int(np.prod(shape)) == len(devices), (
+        f"mesh shape {shape} != device count {len(devices)}")
+    dev_array = mesh_utils.create_device_mesh(tuple(shape), devices=devices)
+    return Mesh(dev_array, tuple(axes[:len(shape)]))
+
+
+def replicated(mesh: Mesh) -> NamedSharding:
+    return NamedSharding(mesh, P())
+
+
+def data_sharding(mesh: Mesh, axis: str = "data") -> NamedSharding:
+    """Shard the leading (batch) dim over the data axis."""
+    if axis not in mesh.axis_names:
+        return replicated(mesh)
+    return NamedSharding(mesh, P(axis))
+
+
+def encoder_tp_spec(name: str, model_axis: str = "model") -> P:
+    """Tensor-parallel PartitionSpec for a stacked-encoder parameter.
+
+    Megatron-style column/row split expressed as sharding rules; XLA/GSPMD
+    derives the all-reduces. Stacked layout is ``[L, ...]`` (layer axis never
+    sharded).
+
+    - QKV / FFN-in kernels ``[L, H, out]``: split the *output* dim (column).
+    - attn-out / FFN-out kernels ``[L, in, H]``: split the *input* dim (row).
+    - biases of column-split kernels: split; row-split biases + LN params:
+      replicated.
+    """
+    col_kernels = {"q_kernel", "k_kernel", "v_kernel", "ffn_in_kernel"}
+    row_kernels = {"attn_out_kernel", "ffn_out_kernel"}
+    col_biases = {"q_bias", "k_bias", "v_bias", "ffn_in_bias"}
+    if name in col_kernels:
+        return P(None, None, model_axis)
+    if name in row_kernels:
+        return P(None, model_axis, None)
+    if name in col_biases:
+        return P(None, model_axis)
+    return P()
+
+
+def uniter_param_specs(params: dict, model_axis: str = "model",
+                       fold_axis: Optional[str] = None) -> dict:
+    """PartitionSpec tree for a UNITER(-family) param pytree.
+
+    ``fold_axis`` prepends a sharded leading fold dimension (stacked
+    fold-parallel params).
+    """
+    def spec_for(path, leaf) -> P:
+        names = [str(p.key) if hasattr(p, "key") else str(p) for p in path]
+        leaf_name = names[-1]
+        if "encoder" in names:
+            spec = encoder_tp_spec(leaf_name, model_axis)
+        elif leaf_name == "word_embeddings":
+            spec = P(model_axis, None)   # vocab-sharded embedding table
+        elif leaf_name in ("img_linear_kernel",):
+            spec = P(None, model_axis)
+        else:
+            spec = P()
+        if fold_axis is not None:
+            spec = P(fold_axis, *spec)
+        return spec
+
+    return jax.tree_util.tree_map_with_path(spec_for, params)
+
+
+def apply_shardings(mesh: Mesh, params: dict, specs: dict) -> dict:
+    """device_put every leaf with its NamedSharding."""
+    return jax.tree.map(
+        lambda leaf, spec: jax.device_put(leaf, NamedSharding(mesh, spec)),
+        params, specs)

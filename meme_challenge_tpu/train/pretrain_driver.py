@@ -1,0 +1,183 @@
+"""Multi-task UNITER pretraining driver.
+
+The reference ships ``UniterForPretraining``, the MLM/ITM/MRFR datasets and
+``MetaLoader`` but **no driver script wires them together** (SURVEY.md §2
+quirks: grep shows train_uniter.py uses UniterForPretraining only to load
+weights). This module supplies that missing capability, TPU-native:
+
+- one jitted train step *per task* (different batch signatures compile
+  separately, then cache);
+- MetaLoader keeps the sampled task fixed across a gradient-accumulation
+  group (reference pretrain_meme_dataset.py:44-47), so each optimizer step
+  mixes micro-batches of a single task — matching the reference semantics;
+- ITM can add the IPOT optimal-transport alignment loss (models/ot.py) with
+  a weight — the wiring the reference left vestigial (model/pretrain.py:
+  197-203);
+- Orbax-free full-state checkpoints via train/checkpoint.py.
+"""
+from __future__ import annotations
+
+import logging
+import time
+from typing import Callable, Dict, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+
+from meme_challenge_tpu.core.config import TrainConfig, UniterConfig
+from meme_challenge_tpu.core.seeding import prng_key
+from meme_challenge_tpu.models.ot import optimal_transport_dist
+from meme_challenge_tpu.models.uniter import UniterForPretraining
+from meme_challenge_tpu.train.checkpoint import ModelSaver, save_train_state
+from meme_challenge_tpu.train.optim import make_optimizer
+from meme_challenge_tpu.train.schedules import make_schedule
+from meme_challenge_tpu.train.steps import TrainState, create_train_state
+
+logger = logging.getLogger("meme_challenge_tpu.pretrain")
+
+
+def _task_loss(model: UniterForPretraining, params, batch, task: str,
+               rng, ot_weight: float = 0.0):
+    """Scalar loss for one task micro-batch (masked means)."""
+    variables = {"params": params}
+    rngs = {"dropout": rng}
+    if task == "mlm":
+        nll, mask = model.apply(variables, batch, "mlm", deterministic=False,
+                                rngs=rngs)
+        return jnp.sum(nll) / jnp.maximum(jnp.sum(mask), 1.0)
+    if task == "mrfr":
+        err, mask = model.apply(variables, batch, "mrfr",
+                                deterministic=False, rngs=rngs)
+        denom = jnp.maximum(jnp.sum(mask) * err.shape[-1], 1.0)
+        return jnp.sum(err) / denom
+    if task.startswith("mrc"):
+        loss, mask = model.apply(variables, batch, task, deterministic=False,
+                                 rngs=rngs)
+        return jnp.sum(loss) / jnp.maximum(jnp.sum(mask), 1.0)
+    if task == "itm":
+        scores = model.apply(variables, batch, "itm", deterministic=False,
+                             rngs=rngs)
+        targets = batch["targets"]
+        logp = jax.nn.log_softmax(scores.astype(jnp.float32), -1)
+        nll = -jnp.take_along_axis(logp, targets[:, None], axis=-1)[:, 0]
+        m = batch["sample_mask"].astype(jnp.float32)
+        loss = jnp.sum(nll * m) / jnp.maximum(jnp.sum(m), 1.0)
+        if ot_weight > 0.0:
+            # OT alignment: positive pairs should have small transport
+            # distance, negatives large (margin-free UNITER formulation:
+            # +dist for matched, −dist for mismatched)
+            seq = model.apply(variables, batch, method=_encode_seq)
+            T = batch["input_ids"].shape[1]
+            txt_pad = batch["txt_mask"] == 0
+            img_pad = batch["img_mask"] == 0
+            dist = optimal_transport_dist(seq[:, :T], seq[:, T:],
+                                          txt_pad, img_pad)
+            signed = jnp.where(targets == 1, dist, -dist)
+            loss = loss + ot_weight * jnp.sum(signed * m) / jnp.maximum(
+                jnp.sum(m), 1.0)
+        return loss
+    raise ValueError(f"unknown task {task}")
+
+
+def _encode_seq(model: UniterForPretraining, batch):
+    return model._encode(batch, deterministic=True)
+
+
+class PretrainTrainer:
+    """Multi-task pretraining over a MetaLoader stream."""
+
+    def __init__(self, config: TrainConfig, model: UniterForPretraining,
+                 params, meta_loader, steps_per_epoch: int,
+                 ot_weight: float = 0.0):
+        self.config = config
+        self.model = model
+        self.meta_loader = meta_loader
+        self.steps_per_epoch = steps_per_epoch
+        self.ot_weight = ot_weight
+
+        c = config
+        schedule = make_schedule(
+            c.scheduler, warmup_steps=c.warmup_steps,
+            total_steps=steps_per_epoch * c.max_epoch,
+            lr_decay_step=c.lr_decay_step,
+            lr_decay_factor=c.lr_decay_factor)
+        self.tx = make_optimizer(
+            c.optimizer, c.lr, schedule, beta1=c.beta1, beta2=c.beta2,
+            weight_decay=c.weight_decay, max_grad_norm=c.max_grad_norm,
+            params_example=params)
+        self.state = create_train_state(params, self.tx)
+        self.root_rng = prng_key(c.seed)
+        self._task_steps: Dict[str, Callable] = {}
+        self.saver = ModelSaver(
+            f"{c.model_path}/{c.model_save_name}")
+
+    def _get_task_step(self, task: str) -> Callable:
+        if task in self._task_steps:
+            return self._task_steps[task]
+        model = self.model
+        tx = self.tx
+        accum = self.config.gradient_accumulation
+        ot_weight = self.ot_weight
+
+        def loss_fn(params, micro_batch, rng):
+            return _task_loss(model, params, micro_batch, task, rng,
+                              ot_weight)
+
+        grad_fn = jax.value_and_grad(loss_fn)
+
+        def step(state: TrainState, batch, rng):
+            rngs = jax.random.split(rng, accum)
+
+            def scan_body(acc, xs):
+                mb, r = xs
+                loss, grads = grad_fn(state.params, mb, r)
+                return jax.tree.map(jnp.add, acc, grads), loss
+
+            zeros = jax.tree.map(
+                lambda p: jnp.zeros(p.shape, jnp.float32), state.params)
+            grad_acc, losses = jax.lax.scan(scan_body, zeros, (batch, rngs))
+            grads = jax.tree.map(lambda g: g / accum, grad_acc)
+            updates, new_opt = tx.update(grads, state.opt_state, state.params)
+            new_params = optax.apply_updates(state.params, updates)
+            return TrainState(new_params, new_opt, state.step + 1), losses
+
+        compiled = jax.jit(step, donate_argnums=(0,))
+        self._task_steps[task] = compiled
+        return compiled
+
+    def train(self, total_steps: Optional[int] = None):
+        """Run ``total_steps`` optimizer steps (default: steps_per_epoch ×
+        max_epoch). Returns {task: mean loss over the last epoch}."""
+        c = self.config
+        accum = c.gradient_accumulation
+        total = total_steps or (self.steps_per_epoch * c.max_epoch)
+        task_losses: Dict[str, list] = {}
+        stream = iter(self.meta_loader)
+        t0 = time.time()
+        for opt_step in range(total):
+            group, task = [], None
+            for _ in range(accum):
+                task_i, batch = next(stream)
+                assert task is None or task_i == task, (
+                    "MetaLoader must hold the task fixed across an "
+                    "accumulation group")
+                task = task_i
+                group.append(batch)
+            device_batch = {
+                k: jnp.stack([jnp.asarray(b[k]) for b in group])
+                for k in group[0]}
+            rng = jax.random.fold_in(self.root_rng, opt_step)
+            step_fn = self._get_task_step(task)
+            self.state, losses = step_fn(self.state, device_batch, rng)
+            task_losses.setdefault(task, []).append(
+                float(np.asarray(losses).mean()))
+            if (opt_step + 1) % max(1, total // 10) == 0:
+                means = {t: float(np.mean(v[-50:]))
+                         for t, v in task_losses.items()}
+                logger.info("pretrain step %i/%i losses=%s (%.1fs)",
+                            opt_step + 1, total, means, time.time() - t0)
+        self.saver.save(self.state.params)
+        return {t: float(np.mean(v[-self.steps_per_epoch:]))
+                for t, v in task_losses.items()}

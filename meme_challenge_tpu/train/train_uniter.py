@@ -1,0 +1,179 @@
+"""UNITER fine-tuning entry point.
+
+Parity: reference train_uniter.py — CLI flags, pretrained-checkpoint
+ingestion, ConfounderSampler train loaders, the four test loaders
+(test_seen/test_unseen/dev_seen/dev_unseen), and the crossval driver. The
+README reproduction command maps directly:
+
+    python -m meme_challenge_tpu.train.train_uniter \
+        --data_path dataset --feature_path dataset/img_feats \
+        --vocab_file vocab.txt --pretrained_model_file uniter-base.pt \
+        --lr 3e-5 --scheduler warmup_cosine --warmup_steps 500 \
+        --batch_size 16 --gradient_accumulation 2 --confounder_repeat 3 \
+        --pos_wt 1.8 --num_folds -1 --crossval_dev_size 200 \
+        --crossval_use_dev --seed 43 --max_epoch 30 --patience 5
+"""
+from __future__ import annotations
+
+import argparse
+import dataclasses
+import logging
+import os
+from functools import partial
+from typing import Optional
+
+import jax
+import numpy as np
+
+from meme_challenge_tpu.core.config import TrainConfig, UniterConfig
+from meme_challenge_tpu.core.seeding import set_seed
+from meme_challenge_tpu.data.meme_dataset import (
+    BatchLoader,
+    ConfounderSampler,
+    MemeDataset,
+)
+from meme_challenge_tpu.data.tokenizer import BertTokenizer
+from meme_challenge_tpu.models.convert import (
+    load_torch_state_dict,
+    meme_uniter_params_from_torch,
+    pretrain_params_from_torch,
+)
+from meme_challenge_tpu.models.uniter import MemeUniter
+from meme_challenge_tpu.train.crossval_driver import train_crossval
+from meme_challenge_tpu.train.trainer import Trainer
+
+logger = logging.getLogger("meme_challenge_tpu.train_uniter")
+
+
+def add_train_config_args(parser: argparse.ArgumentParser) -> None:
+    """All TrainConfig fields as flags (reference add_default_argparse +
+    train_uniter.py extras)."""
+    for f in dataclasses.fields(TrainConfig):
+        name = "--" + f.name
+        if f.type == "bool" or isinstance(f.default, bool):
+            parser.add_argument(name, action="store_true",
+                                default=f.default)
+        elif f.name in ("mesh_shape", "mesh_axes"):
+            continue
+        else:
+            typ = (type(f.default) if f.default is not None else str)
+            parser.add_argument(name, type=typ, default=f.default)
+
+
+def init_meme_uniter_params(
+    model: MemeUniter,
+    uniter_config: UniterConfig,
+    train_config: TrainConfig,
+    rng: jax.Array,
+    example_batch: dict,
+):
+    """Initialize params, optionally from a torch checkpoint.
+
+    Mirrors reference TrainerUniter.init_model/load_model
+    (train_uniter.py:22-53): ``pretrained_model_file`` loads a raw UNITER
+    pretraining dump (trunk only, classifier stays random);
+    a fine-tuned MemeUniter dump restores everything.
+    """
+    params = model.init(rng, example_batch, deterministic=True)["params"]
+    path = train_config.pretrained_model_file
+    if path:
+        full_path = (path if os.path.isfile(path)
+                     else os.path.join(train_config.model_path, path))
+        logger.info("Loading pretrained UNITER weights from %s", full_path)
+        sd = load_torch_state_dict(full_path)
+        if any(k.startswith("uniter_model.") for k in sd):
+            loaded = meme_uniter_params_from_torch(sd, uniter_config)
+            params = {**params, **loaded}
+        else:
+            loaded = pretrain_params_from_torch(sd, uniter_config)
+            params = dict(params)
+            params["uniter"] = loaded["uniter"]
+    return params
+
+
+def build_entry(config: TrainConfig, uniter_config: UniterConfig,
+                vocab_file: str):
+    """Wire tokenizer, loader factories, trainer factory. Returns
+    (loader_funcs, test_loaders, trainer_factory)."""
+    tokenizer = BertTokenizer(vocab_file)
+    model = MemeUniter(uniter_config, n_classes=config.n_classes)
+
+    ds_kwargs = dict(
+        feature_dir=config.feature_path,
+        tokenizer=tokenizer,
+        max_txt_len=config.max_txt_len,
+        max_bb=config.max_bb,
+        confidence_threshold=config.object_conf_thresh,
+        img_dim=uniter_config.img_dim,
+    )
+
+    def train_data_loader(path):
+        ds = MemeDataset(path, **ds_kwargs)
+        sampler = ConfounderSampler(ds,
+                                    repeat_factor=config.confounder_repeat)
+        return BatchLoader(ds, config.batch_size, sampler=sampler)
+
+    def val_data_loader(path):
+        ds = MemeDataset(path, **ds_kwargs)
+        return BatchLoader(ds, config.batch_size)
+
+    def test_data_loader(path):
+        ds = MemeDataset(path, return_ids=True, **ds_kwargs)
+        return BatchLoader(ds, config.batch_size)
+
+    loader_funcs = {"train": train_data_loader, "val": val_data_loader,
+                    "test": test_data_loader}
+
+    test_loaders = []
+    for name in ["test_seen.jsonl", "test_unseen.jsonl", "dev_seen.jsonl",
+                 "dev_unseen.jsonl"]:
+        path = os.path.join(config.data_path, name)
+        if os.path.isfile(path):
+            test_loaders.append(test_data_loader(path))
+
+    def trainer_factory(cfg, train_loader, val_loader, fold_test_loaders):
+        example = next(iter(val_loader))
+        example.pop("ids", None)
+        params = init_meme_uniter_params(
+            model, uniter_config, cfg, jax.random.PRNGKey(cfg.seed), example)
+        return Trainer(cfg, model, params, train_loader, val_loader,
+                       fold_test_loaders)
+
+    return loader_funcs, test_loaders, trainer_factory
+
+
+def main(argv=None):
+    parser = argparse.ArgumentParser()
+    add_train_config_args(parser)
+    parser.add_argument("--uniter_config", type=str, default="",
+                        help="JSON model config (uniter-base defaults)")
+    parser.add_argument("--vocab_file", type=str, required=True,
+                        help="BERT vocab.txt (cased)")
+    parser.add_argument("--compute_bf16", action="store_true",
+                        help="bfloat16 compute dtype (TPU MXU fast path)")
+    args, _ = parser.parse_known_args(argv)
+
+    cfg_dict = {f.name: getattr(args, f.name)
+                for f in dataclasses.fields(TrainConfig)
+                if hasattr(args, f.name)}
+    config = TrainConfig(**cfg_dict)
+    uniter_config = (UniterConfig.from_json_file(args.uniter_config)
+                     if args.uniter_config else UniterConfig())
+    if args.compute_bf16:
+        uniter_config = uniter_config.replace(dtype="bfloat16")
+
+    os.makedirs(config.model_path, exist_ok=True)
+    set_seed(config.seed)
+    loader_funcs, test_loaders, trainer_factory = build_entry(
+        config, uniter_config, args.vocab_file)
+    return train_crossval(
+        trainer_factory, config, loader_funcs, test_loaders,
+        num_folds=config.num_folds, dev_size=config.crossval_dev_size,
+        use_dev_set=config.crossval_use_dev)
+
+
+if __name__ == "__main__":
+    logging.basicConfig(
+        format="%(asctime)s : %(levelname)s - %(message)s",
+        datefmt="%d/%m/%Y %I:%M:%S %p", level=logging.INFO)
+    main()

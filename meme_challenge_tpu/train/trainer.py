@@ -1,0 +1,347 @@
+"""Trainer lifecycle.
+
+Capability parity with reference train_template.py (TrainerTemplate) +
+train_uniter.py (TrainerUniter), re-architected around one jitted train step:
+
+- epoch loop over host micro-batches grouped into ``[accum, micro_bs, ...]``
+  device batches (steps.py) instead of eager per-iter backward;
+- per-epoch train metrics, validation, early stopping on the monitored
+  metric with patience + improvement threshold (train_template.py:221-241);
+- best-checkpoint reload → optimal threshold on validation →
+  per-test-set exports: labeled sets get metrics + ``id,proba,label,gt``
+  CSVs, unlabeled sets get leaderboard CSVs (train_template.py:287-338);
+- metrics JSON export (train_template.py:343-354).
+
+Deviation from the reference (documented): leftover micro-batches that don't
+fill an accumulation group at epoch end are padded with zero-mask
+micro-batches and stepped, instead of leaking their gradients into the next
+epoch (reference quirk, SURVEY.md §2 notes).
+"""
+from __future__ import annotations
+
+import logging
+import os
+import time
+from collections import defaultdict
+from typing import Callable, Dict, List, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from meme_challenge_tpu.core.config import TrainConfig
+from meme_challenge_tpu.core.artifacts import export_metrics_json, export_predictions
+from meme_challenge_tpu.core.metrics import (
+    find_optimal_threshold,
+    standard_metrics,
+)
+from meme_challenge_tpu.core.seeding import prng_key
+from meme_challenge_tpu.data.meme_dataset import BatchLoader
+from meme_challenge_tpu.train.checkpoint import ModelSaver
+from meme_challenge_tpu.train.losses import make_loss_fn
+from meme_challenge_tpu.train.optim import make_optimizer
+from meme_challenge_tpu.train.schedules import make_schedule
+from meme_challenge_tpu.train.steps import (
+    TrainState,
+    create_train_state,
+    make_eval_step,
+    make_train_step,
+    stack_for_accum,
+)
+
+logger = logging.getLogger("meme_challenge_tpu.train")
+
+
+def _np_batch_loss(probs: np.ndarray, labels: np.ndarray, loss_func: str,
+                   pos_wt: float) -> float:
+    """Host-side eval loss from probabilities (reference logs criterion loss
+    per eval batch, train_template.py:131-152)."""
+    eps = 1e-7
+    p = np.clip(probs, eps, 1 - eps)
+    if loss_func == "ce":
+        return float(-np.log(p[np.arange(len(labels)), labels]).mean())
+    y = labels.astype(np.float64)
+    w = pos_wt if loss_func == "bce_logits" else 1.0
+    return float(-(w * y * np.log(p) + (1 - y) * np.log(1 - p)).mean())
+
+
+class Trainer:
+    """Host orchestration around the jitted steps.
+
+    Parameters
+    ----------
+    config : TrainConfig
+    model : flax module with ``__call__(batch, deterministic)`` → logits
+    params : initial parameter pytree
+    train_loader / val_loader / test_loaders : BatchLoader instances
+    """
+
+    def __init__(
+        self,
+        config: TrainConfig,
+        model,
+        params,
+        train_loader: Optional[BatchLoader],
+        val_loader: Optional[BatchLoader],
+        test_loaders: Optional[List[BatchLoader]] = None,
+    ):
+        self.config = config
+        self.model = model
+        self.test_loaders = test_loaders or []
+        self.train_loader = train_loader
+        self.val_loader = val_loader
+
+        c = config
+        self.model_file = os.path.join(c.model_path, c.model_save_name)
+        self.saver = ModelSaver(self.model_file)
+        self.loss_fn = make_loss_fn(c.loss_func, c.pos_wt)
+
+        total_steps = (len(train_loader) * c.max_epoch) if train_loader else 1
+        schedule = make_schedule(
+            c.scheduler, warmup_steps=c.warmup_steps, total_steps=total_steps,
+            lr_decay_step=c.lr_decay_step, lr_decay_factor=c.lr_decay_factor)
+        self.schedule = schedule
+        self.tx = make_optimizer(
+            c.optimizer, c.lr, schedule, beta1=c.beta1, beta2=c.beta2,
+            weight_decay=c.weight_decay, max_grad_norm=c.max_grad_norm,
+            params_example=params)
+        self.state = create_train_state(params, self.tx)
+
+        def model_apply_train(params_, batch, rng):
+            return self.model.apply({"params": params_}, batch,
+                                    deterministic=False,
+                                    rngs={"dropout": rng})
+
+        def model_apply_eval(params_, batch):
+            return self.model.apply({"params": params_}, batch,
+                                    deterministic=True)
+
+        self.train_step = make_train_step(
+            model_apply_train, self.loss_fn, self.tx,
+            accum_steps=c.gradient_accumulation)
+        if c.loss_func == "ce":
+            probs_fn = lambda lg: jax.nn.softmax(lg.astype(jnp.float32), -1)
+        else:
+            probs_fn = lambda lg: jax.nn.sigmoid(
+                lg.reshape(lg.shape[0], -1)[:, 0].astype(jnp.float32))
+        self.eval_step = make_eval_step(model_apply_eval, probs_fn)
+
+        self.root_rng = prng_key(c.seed)
+        # early-stopping state (reference train_template.py:29-36)
+        self.best_val_metrics: Dict[str, float] = defaultdict(int)
+        self.best_val_loss = 1000.0
+        self.not_improved = 0
+        self.terminate_training = False
+        self.train_metrics: Dict[str, float] = {}
+        self.train_loss = 0.0
+        self.test_metrics: Dict[str, dict] = {}
+        self.total_iters = 0
+        self.scalars: List[tuple] = []  # (name, step, value) observability log
+
+    # ------------------------------------------------------------------ train
+
+    def _device_batches(self, loader: BatchLoader):
+        """Group host micro-batches into [accum, ...] device batches."""
+        accum = self.config.gradient_accumulation
+        group: List[dict] = []
+        for batch in loader:
+            batch = dict(batch)
+            batch.pop("ids", None)
+            group.append(batch)
+            if len(group) == accum:
+                yield stack_for_accum(group)
+                group = []
+        if group:
+            pad = dict(group[-1])
+            pad["sample_mask"] = np.zeros_like(pad["sample_mask"])
+            while len(group) < accum:
+                group.append(pad)
+            yield stack_for_accum(group)
+
+    def train_main(self):
+        c = self.config
+        logger.info("Beginning training: %s", c.model_save_name)
+        start = time.time()
+        for epoch in range(1, c.max_epoch + 1):
+            epoch_probs, epoch_labels, epoch_masks, losses = [], [], [], []
+            iter_times = []
+            t0 = time.time()
+            for device_batch in self._device_batches(self.train_loader):
+                step_rng = jax.random.fold_in(
+                    self.root_rng, int(self.state.step))
+                self.state, out = self.train_step(
+                    self.state, device_batch, step_rng)
+                losses.append(np.asarray(out["loss"]))
+                epoch_probs.append(np.asarray(out["probs"]))
+                epoch_labels.append(np.asarray(device_batch["labels"]))
+                epoch_masks.append(np.asarray(device_batch["sample_mask"]))
+                iter_times.append(time.time() - t0)
+                t0 = time.time()
+                self.total_iters += c.gradient_accumulation
+            if iter_times:
+                self.scalars.append(("Stats/time_per_train_iter",
+                                     self.total_iters,
+                                     float(np.mean(iter_times))
+                                     / c.gradient_accumulation))
+                lr_factor = float(self.schedule(int(self.state.step)))
+                self.scalars.append(("Stats/learning_rate", self.total_iters,
+                                     c.lr * lr_factor))
+
+            probs = np.concatenate([p.reshape(-1, *p.shape[2:])
+                                    for p in epoch_probs])
+            labels = np.concatenate([l.reshape(-1) for l in epoch_labels])
+            masks = np.concatenate([m.reshape(-1) for m in epoch_masks])
+            valid = masks.astype(bool)
+            self.train_metrics = standard_metrics(
+                probs[valid], labels[valid], add_optimal_acc=True)
+            self.train_loss = float(np.mean(np.concatenate(losses)))
+            self.train_metrics_loss = self.train_loss
+
+            val_t0 = time.time()
+            self.val_metrics, self.val_loss = self.eval_model(self.val_loader)
+            self.scalars.append(("Stats/time_validation", self.total_iters,
+                                 time.time() - val_t0))
+            for k, v in self.val_metrics.items():
+                self.scalars.append((f"Validation/{k}", epoch, v))
+            for k, v in self.train_metrics.items():
+                self.scalars.append((f"Train/{k}", epoch, v))
+
+            logger.info(
+                "Epoch %i/%i  train_loss=%.4f train_auc=%.4f  "
+                "val_loss=%.4f val_auc=%.4f  (%.1fs)",
+                epoch, c.max_epoch, self.train_loss,
+                self.train_metrics.get("aucroc", -1), self.val_loss,
+                self.val_metrics.get("aucroc", -1), time.time() - start)
+
+            self.check_early_stopping()
+            if self.terminate_training:
+                break
+        return self.end_training()
+
+    # ------------------------------------------------------------------- eval
+
+    def eval_model(self, loader: BatchLoader):
+        probs_list, labels_list = [], []
+        for batch in loader:
+            mask = batch["sample_mask"].astype(bool)
+            probs = np.asarray(self.eval_step(self.state.params, batch))
+            probs_list.append(probs[mask])
+            labels_list.append(batch["labels"][mask])
+        probs = np.concatenate(probs_list)
+        labels = np.concatenate(labels_list)
+        metrics = standard_metrics(probs, labels, add_optimal_acc=True)
+        # reference averages per-batch criterion means (train_template.py:146)
+        batch_losses = [
+            _np_batch_loss(p, l, self.config.loss_func, self.config.pos_wt)
+            for p, l in zip(probs_list, labels_list)
+        ]
+        self._last_eval = (probs, labels)
+        return metrics, float(np.mean(batch_losses))
+
+    def predict(self, loader: BatchLoader):
+        """Probabilities + ids over a loader (reference export path)."""
+        probs_list, ids_list, labels_list = [], [], []
+        for batch in loader:
+            mask = batch["sample_mask"].astype(bool)
+            probs = np.asarray(self.eval_step(self.state.params, batch))
+            probs_list.append(probs[mask])
+            ids_list.append(batch["ids"][mask])
+            labels_list.append(batch["labels"][mask])
+        return (np.concatenate(probs_list), np.concatenate(ids_list),
+                np.concatenate(labels_list))
+
+    # --------------------------------------------------------- early stopping
+
+    def check_early_stopping(self):
+        """Reference train_template.py:221-241 semantics exactly."""
+        c = self.config
+        opt_for = c.optimize_for
+        this_metric = (self.val_loss if opt_for == "loss"
+                       else self.val_metrics[opt_for])
+        current_best = (self.best_val_loss if opt_for == "loss"
+                        else self.best_val_metrics[opt_for])
+        new_best = (this_metric < current_best if opt_for == "loss"
+                    else this_metric > current_best)
+        if new_best:
+            logger.info("New high score, saving model...")
+            self.best_val_metrics = self.val_metrics
+            self.best_val_loss = self.val_loss
+            if not c.no_model_checkpoints:
+                self.saver.save(self.state.params)
+        diff = (current_best - this_metric if opt_for == "loss"
+                else this_metric - current_best)
+        if diff < c.early_stop_thresh:
+            self.not_improved += 1
+            if self.not_improved >= c.patience:
+                self.terminate_training = True
+        else:
+            self.not_improved = 0
+        logger.info("current patience: %i", self.not_improved)
+
+    # ------------------------------------------------------------ end of run
+
+    def _csv_path(self, dataset_name: str) -> str:
+        base = self.config.model_save_name.rsplit(".", 1)[0]
+        return os.path.join(self.config.model_path,
+                            base + "_%s_preds.csv" % dataset_name)
+
+    def end_training(self):
+        c = self.config
+        if self.terminate_training:
+            logger.info("Training terminated early (no %s improvement for "
+                        "%i epochs)", c.optimize_for, c.patience)
+        self.test_metrics = {}
+        if not c.no_model_checkpoints and os.path.isfile(self.model_file):
+            # reload best params (reference train_template.py:298-303)
+            params = self.saver.load(self.state.params)
+            self.state = self.state._replace(params=params)
+
+            # optimal threshold on validation (train_template.py:304-310)
+            val_metrics, val_loss = self.eval_model(self.val_loader)
+            val_probs, val_labels = self._last_eval
+            val_ids = np.zeros_like(val_labels) - 1
+            if self.val_loader.dataset.return_ids:
+                _, val_ids, _ = self.predict(self.val_loader)
+            threshold = find_optimal_threshold(val_probs, val_labels,
+                                               metric="accuracy")
+            export_predictions(
+                self._csv_path(self.val_loader.dataset.name),
+                val_ids, val_probs, (val_probs > 0.5).astype(np.int64),
+                labels=val_labels)
+            logger.info("Optimal threshold on validation: %.4f", threshold)
+
+            for loader in self.test_loaders:
+                name = loader.dataset.name
+                if loader.dataset.labels[0] == -1:
+                    # unlabeled leaderboard export (train_template.py:157-192)
+                    probs, ids, _ = self.predict(loader)
+                    export_predictions(
+                        self._csv_path(name), ids, probs,
+                        (probs > threshold).astype(np.int64))
+                    self.test_metrics[name] = {}
+                else:
+                    metrics, _ = self.eval_model(loader)
+                    self.test_metrics[name] = metrics
+                    probs, ids, labels = self.predict(loader)
+                    export_predictions(
+                        self._csv_path(name), ids, probs,
+                        (probs > threshold).astype(np.int64), labels=labels)
+        else:
+            logger.info("No model checkpoints were saved; skipping testing.")
+
+        self.export_metrics()
+        if c.remove_checkpoints and os.path.isfile(self.model_file):
+            os.remove(self.model_file)
+        return self.best_val_metrics, self.test_metrics
+
+    def export_metrics(self):
+        """Reference train_template.py:343-354."""
+        base = self.config.model_save_name.rsplit(".", 1)[0]
+        path = os.path.join(self.config.model_path, base + "_metrics.json")
+        metric_dict = {
+            "dev": dict(self.best_val_metrics, loss=self.best_val_loss),
+            "train": dict(self.train_metrics, loss=self.train_loss),
+        }
+        if self.test_metrics:
+            metric_dict["test"] = self.test_metrics
+        export_metrics_json(path, metric_dict)

@@ -7,7 +7,8 @@ jax initializes.
 """
 import os
 
-os.environ.setdefault("JAX_PLATFORMS", "cpu")
+# force-set: the shell pre-sets JAX_PLATFORMS=axon (the real TPU tunnel)
+os.environ["JAX_PLATFORMS"] = "cpu"
 xla_flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in xla_flags:
     os.environ["XLA_FLAGS"] = (
@@ -18,6 +19,10 @@ os.environ.setdefault("TRANSFORMERS_OFFLINE", "1")
 import jax  # noqa: E402
 import numpy as np  # noqa: E402
 import pytest  # noqa: E402
+
+# sitecustomize (axon TPU relay) imports jax at interpreter startup, before
+# this conftest runs — the env var alone is too late; update the live config.
+jax.config.update("jax_platforms", "cpu")
 
 # XLA CPU's default matmul precision is a bf16 fastmath path (~1e-2 relative
 # error); parity tests need true fp32 accumulation. On TPU the perf path is

@@ -1,0 +1,156 @@
+"""Parallel layer tests on the 8-device virtual CPU mesh: fold-parallel
+training, DP/TP sharding rules, and sharded-vs-single-device equivalence."""
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+from jax.sharding import NamedSharding, PartitionSpec as P
+
+from meme_challenge_tpu.core.config import TrainConfig, UniterConfig
+from meme_challenge_tpu.data.meme_dataset import BatchLoader, MemeDataset
+from meme_challenge_tpu.data.tokenizer import BertTokenizer
+from meme_challenge_tpu.models.uniter import MemeUniter
+from meme_challenge_tpu.parallel.mesh import (
+    apply_shardings,
+    make_mesh,
+    uniter_param_specs,
+)
+from meme_challenge_tpu.parallel.fold_parallel import FoldParallelTrainer
+from meme_challenge_tpu.utils.synthetic import make_synthetic_dataset
+
+
+@pytest.fixture(scope="module")
+def synth(tmp_path_factory):
+    root = tmp_path_factory.mktemp("par_synth")
+    return make_synthetic_dataset(str(root), n_train=32, n_dev=16,
+                                  img_dim=32, label_signal=3.0)
+
+
+UCFG = UniterConfig(vocab_size=64, hidden_size=32, num_hidden_layers=2,
+                    num_attention_heads=2, intermediate_size=64, img_dim=32,
+                    max_position_embeddings=32)
+
+
+def _loaders(synth, n_folds, batch_size=8):
+    tok = BertTokenizer(synth["vocab"])
+    kwargs = dict(feature_dir=synth["feature_dir"], tokenizer=tok,
+                  max_txt_len=12, max_bb=16, img_dim=32)
+    train = [BatchLoader(MemeDataset(synth["train"], **kwargs), batch_size,
+                         shuffle_data=True) for _ in range(n_folds)]
+    val = [BatchLoader(MemeDataset(synth["dev_seen"], **kwargs), batch_size)
+           for _ in range(n_folds)]
+    return train, val
+
+
+def test_device_count():
+    assert jax.device_count() == 8, (
+        "tests expect the 8-device virtual CPU mesh (conftest XLA_FLAGS)")
+
+
+def test_fold_parallel_trains_on_mesh(synth, tmp_path):
+    n_folds = 4
+    mesh = make_mesh((4, 2), ("fold", "data"))
+    model = MemeUniter(UCFG, n_classes=1)
+    train_loaders, val_loaders = _loaders(synth, n_folds)
+    example = next(iter(val_loaders[0]))
+    example.pop("ids")
+    keys = jax.random.split(jax.random.PRNGKey(0), n_folds)
+    params_stacked = jax.vmap(
+        lambda k: model.init(k, example, deterministic=True)["params"])(keys)
+
+    cfg = TrainConfig(model_path=str(tmp_path), lr=3e-3, batch_size=8,
+                      max_epoch=3, patience=5, gradient_accumulation=1,
+                      warmup_steps=2, seed=0)
+    trainer = FoldParallelTrainer(cfg, model, params_stacked,
+                                  train_loaders, val_loaders, mesh=mesh)
+    fold_metrics = trainer.train_main()
+    assert len(fold_metrics) == n_folds
+    aucs = [m.get("aucroc", 0.0) for m in fold_metrics]
+    assert all(a > 0.7 for a in aucs), aucs
+    # best params differ per fold (different init keys)
+    p0 = jax.tree.leaves(trainer.best_fold_params(0))[0]
+    p1 = jax.tree.leaves(trainer.best_fold_params(1))[0]
+    assert not np.allclose(np.asarray(p0), np.asarray(p1))
+
+
+def test_fold_parallel_early_stop_freezes_folds(synth, tmp_path):
+    """A fold whose patience is exhausted must keep its best snapshot."""
+    n_folds = 2
+    mesh = make_mesh((2, 4), ("fold", "data"))
+    model = MemeUniter(UCFG, n_classes=1)
+    train_loaders, val_loaders = _loaders(synth, n_folds)
+    example = next(iter(val_loaders[0]))
+    example.pop("ids")
+    keys = jax.random.split(jax.random.PRNGKey(1), n_folds)
+    params_stacked = jax.vmap(
+        lambda k: model.init(k, example, deterministic=True)["params"])(keys)
+    cfg = TrainConfig(model_path=str(tmp_path), lr=3e-3, batch_size=8,
+                      max_epoch=6, patience=1, early_stop_thresh=0.5,
+                      gradient_accumulation=1, warmup_steps=2, seed=0)
+    # early_stop_thresh=0.5 is nearly unreachable -> every epoch counts as
+    # no-improvement -> both folds stop after patience=1 epochs
+    trainer = FoldParallelTrainer(cfg, model, params_stacked,
+                                  train_loaders, val_loaders, mesh=mesh)
+    trainer.train_main()
+    assert trainer.done.all()
+    assert all(m for m in trainer.fold_val_metrics)
+
+
+def test_tp_sharding_preserves_forward(synth):
+    """Tensor-parallel sharded params give the same logits as replicated."""
+    mesh = make_mesh((2, 2, 2), ("fold", "data", "model"))
+    model = MemeUniter(UCFG, n_classes=1)
+    tok = BertTokenizer(synth["vocab"])
+    ds = MemeDataset(synth["dev_seen"], feature_dir=synth["feature_dir"],
+                     tokenizer=tok, max_txt_len=12, max_bb=16, img_dim=32)
+    batch = ds.batch(np.arange(8))
+    batch.pop("ids")
+    batch = {k: jnp.asarray(v) for k, v in batch.items()}
+    params = model.init(jax.random.PRNGKey(0), batch,
+                        deterministic=True)["params"]
+    ref = np.asarray(model.apply({"params": params}, batch,
+                                 deterministic=True))
+
+    specs = uniter_param_specs(params, model_axis="model")
+    # intermediate=64 over 2 model shards = 32 each: fine
+    sharded = apply_shardings(mesh, params, specs)
+    fwd = jax.jit(lambda p, b: model.apply({"params": p}, b,
+                                           deterministic=True))
+    out = np.asarray(fwd(sharded, batch))
+    np.testing.assert_allclose(out, ref, atol=1e-5)
+    # the encoder kernels really are sharded over the model axis
+    q = sharded["uniter"]["encoder"]["q_kernel"]
+    assert q.sharding.spec == P(None, None, "model")
+
+
+def test_fold_sharded_matches_single_device(synth, tmp_path):
+    """One training step fold-parallel on the mesh == the same step run
+    fold-by-fold without a mesh (numerical equivalence of the scale axis)."""
+    n_folds = 2
+    model = MemeUniter(UCFG, n_classes=1)
+    train_loaders, val_loaders = _loaders(synth, n_folds, batch_size=8)
+    example = next(iter(val_loaders[0]))
+    example.pop("ids")
+    keys = jax.random.split(jax.random.PRNGKey(3), n_folds)
+    params_stacked = jax.vmap(
+        lambda k: model.init(k, example, deterministic=True)["params"])(keys)
+    cfg = TrainConfig(model_path=str(tmp_path), lr=1e-3, batch_size=8,
+                      max_epoch=1, gradient_accumulation=1, warmup_steps=2,
+                      seed=0)
+
+    mesh = make_mesh((2, 4), ("fold", "data"))
+    t_mesh = FoldParallelTrainer(cfg, model, params_stacked,
+                                 train_loaders, val_loaders, mesh=mesh)
+    t_nomesh = FoldParallelTrainer(cfg, model, params_stacked,
+                                   train_loaders, val_loaders, mesh=None)
+    batch = next(t_mesh._fold_device_batches())
+    rngs = jax.random.split(jax.random.PRNGKey(9), n_folds)
+    s_mesh, out_mesh = t_mesh._train_step(t_mesh.state, batch, rngs)
+    s_nomesh, out_nomesh = t_nomesh._train_step(t_nomesh.state, batch, rngs)
+    np.testing.assert_allclose(np.asarray(out_mesh["loss"]),
+                               np.asarray(out_nomesh["loss"]), atol=1e-5)
+    leaves_m = jax.tree.leaves(s_mesh.params)
+    leaves_n = jax.tree.leaves(s_nomesh.params)
+    for a, b in zip(leaves_m, leaves_n):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-5)

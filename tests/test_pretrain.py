@@ -1,0 +1,160 @@
+"""Pretraining stack: task batchers, MetaLoader semantics, and a short
+multi-task driver run (MLM+ITM+MRFR+MRC) that must decrease losses."""
+import random
+
+import numpy as np
+import pytest
+
+from meme_challenge_tpu.core.config import TrainConfig, UniterConfig
+from meme_challenge_tpu.data.pretrain import (
+    ITMBatcher,
+    MLMBatcher,
+    MRCBatcher,
+    MRFRBatcher,
+    MetaLoader,
+    TaskLoader,
+    mask_tokens_bert,
+    pretrain_corpus,
+)
+from meme_challenge_tpu.data.tokenizer import BertTokenizer
+from meme_challenge_tpu.utils.synthetic import make_synthetic_dataset
+
+
+@pytest.fixture(scope="module")
+def synth(tmp_path_factory):
+    root = tmp_path_factory.mktemp("pretrain_synth")
+    return make_synthetic_dataset(str(root), n_train=24, n_dev=8, img_dim=32)
+
+
+@pytest.fixture(scope="module")
+def corpus(synth):
+    tok = BertTokenizer(synth["vocab"])
+    ds = pretrain_corpus(synth["root"], synth["feature_dir"], tok,
+                         max_txt_len=12, max_bb=10, img_dim=32)
+    return ds, tok
+
+
+def test_corpus_merges_train_and_dev(synth, corpus):
+    ds, _ = corpus
+    assert len(ds) == 24 + 8
+
+
+def test_mlm_masking_properties(corpus):
+    ds, tok = corpus
+    random.seed(5)
+    ids = ds.input_ids[0]
+    masked, labels = mask_tokens_bert(
+        ids, ds.txt_mask[0], random, mask_prob=0.5,
+        mask_token=tok.mask_id, vocab_range=(5, tok.vocab_size),
+        special_ids=(tok.cls_id, tok.sep_id, tok.pad_id))
+    # at least one masked position; labels hold ORIGINAL ids there
+    pos = np.where(labels != -1)[0]
+    assert len(pos) >= 1
+    for p in pos:
+        assert labels[p] == ids[p]
+    # special positions never masked
+    assert labels[0] == -1            # [CLS]
+    assert (labels[ds.txt_mask[0] == 0] == -1).all()  # padding
+    # unmasked (label −1) positions keep their token
+    keep = (labels == -1) & (ds.txt_mask[0] == 1)
+    assert (masked[keep] == ids[keep]).all()
+
+
+def test_itm_batcher_labels(corpus):
+    ds, _ = corpus
+    random.seed(1)
+    batcher = ITMBatcher(ds, replace_prob=0.6)
+    idx = np.arange(16)
+    batch = ds.batch(idx)
+    batch["sample_mask"] = np.ones(16, np.int32)
+    out = batcher(batch, idx)
+    # replaced rows (target 0) must carry a DIFFERENT text's tokens
+    for row in range(16):
+        same = (out["input_ids"][row] == ds.input_ids[idx[row]]).all()
+        if out["targets"][row] == 1:
+            assert same
+    assert 0 < out["targets"].sum() < 16  # both labels present at p=0.6
+
+
+def test_mrfr_batcher_masks_and_targets(corpus):
+    ds, _ = corpus
+    random.seed(2)
+    batcher = MRFRBatcher(ds, mask_prob=0.3)
+    idx = np.arange(8)
+    batch = ds.batch(idx)
+    out = batcher(batch)
+    im = out["img_masks"]
+    assert (im.sum(axis=1) >= 1).all()           # at-least-one guarantee
+    assert (im[batch["img_mask"] == 0] == 0).all()  # never masks padding
+    # masked features zeroed, targets preserve originals
+    masked = im.astype(bool)
+    assert np.all(out["img_feat"][masked] == 0.0)
+    np.testing.assert_array_equal(out["feat_targets"], batch["img_feat"])
+
+
+def test_mrc_batcher_soft_labels(corpus):
+    ds, _ = corpus
+    random.seed(3)
+    batcher = MRCBatcher(ds, mask_prob=0.3, label_dim=1601)
+    idx = np.arange(4)
+    out = batcher(ds.batch(idx), idx)
+    lab = out["label_targets"]
+    assert lab.shape == (4, 10, 1601)
+    # background column never the label; each valid region one-hot
+    assert lab[..., 0].sum() == 0
+    valid = ds.img_mask[idx].astype(bool)
+    sums = lab.sum(-1)
+    assert (sums[valid] == 1).all()
+
+
+def test_meta_loader_holds_task_across_accum(corpus):
+    ds, tok = corpus
+    random.seed(7)
+    loaders = {
+        "mlm": TaskLoader("mlm", ds, 4, MLMBatcher(ds, tok)),
+        "mrfr": TaskLoader("mrfr", ds, 4, MRFRBatcher(ds)),
+    }
+    meta = MetaLoader({"mlm": (loaders["mlm"], 2), "mrfr": loaders["mrfr"]},
+                      accum_steps=3)
+    stream = iter(meta)
+    tasks = [next(stream)[0] for _ in range(30)]
+    for g in range(0, 30, 3):
+        assert len(set(tasks[g:g + 3])) == 1  # fixed within a group
+    assert {"mlm", "mrfr"} >= set(tasks)
+    assert len(set(tasks)) == 2  # both appear over 10 groups (pool 2:1)
+
+
+def test_pretrain_driver_losses_decrease(corpus, tmp_path):
+    from meme_challenge_tpu.models.uniter import UniterForPretraining
+    from meme_challenge_tpu.train.pretrain_driver import PretrainTrainer
+    import jax
+
+    ds, tok = corpus
+    random.seed(11)
+    ucfg = UniterConfig(vocab_size=tok.vocab_size, hidden_size=32,
+                        num_hidden_layers=2, num_attention_heads=2,
+                        intermediate_size=64, img_dim=32,
+                        max_position_embeddings=32)
+    model = UniterForPretraining(ucfg, img_label_dim=1601)
+    loaders = {
+        "mlm": TaskLoader("mlm", ds, 4, MLMBatcher(ds, tok)),
+        "itm": TaskLoader("itm", ds, 4, ITMBatcher(ds), needs_indices=True),
+        "mrfr": TaskLoader("mrfr", ds, 4, MRFRBatcher(ds)),
+        "mrc": TaskLoader("mrc", ds, 4, MRCBatcher(ds), needs_indices=True),
+    }
+    meta = MetaLoader(loaders, accum_steps=2)
+    from meme_challenge_tpu.train.pretrain_init import init_pretrain_params
+
+    example = next(iter(loaders["mlm"]))
+    params = init_pretrain_params(model, jax.random.PRNGKey(0), example)
+    tcfg = TrainConfig(model_path=str(tmp_path), model_save_name="pre.ckpt",
+                       lr=2e-3, gradient_accumulation=2, max_epoch=1,
+                       warmup_steps=2, scheduler="warmup_cosine")
+    trainer = PretrainTrainer(tcfg, model, params, meta, steps_per_epoch=30,
+                              ot_weight=0.1)
+    losses = trainer.train(total_steps=30)
+    assert set(losses) <= {"mlm", "itm", "mrfr", "mrc"}
+    assert len(losses) >= 2
+    for task, v in losses.items():
+        assert np.isfinite(v), (task, v)
+    assert (tmp_path / "pre.ckpt").exists()

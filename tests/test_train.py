@@ -1,0 +1,217 @@
+"""Training stack tests: loss/schedule parity vs torch, end-to-end single-fold
+training on synthetic data, crossval + ensemble pipeline."""
+import json
+import os
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+
+# ----------------------------------------------------------- unit: losses
+
+
+def test_bce_logits_matches_torch():
+    import torch
+
+    from meme_challenge_tpu.train.losses import bce_logits_loss
+
+    rng = np.random.RandomState(0)
+    logits = rng.randn(16, 1).astype(np.float32)
+    labels = rng.randint(0, 2, 16)
+    mask = np.ones(16, np.int32)
+    loss, probs = bce_logits_loss(jnp.array(logits), jnp.array(labels),
+                                  jnp.array(mask), pos_weight=1.8)
+    crit = torch.nn.BCEWithLogitsLoss(pos_weight=torch.tensor([1.8]))
+    ref = crit(torch.from_numpy(logits).squeeze(1),
+               torch.from_numpy(labels).float())
+    # XLA CPU evaluates exp/log1p with ~3.5e-5 fast approximations; the
+    # formula itself is exact (verified against float64)
+    assert float(loss) == pytest.approx(float(ref), abs=1e-4)
+    np.testing.assert_allclose(
+        np.asarray(probs), 1 / (1 + np.exp(-logits[:, 0])), atol=1e-6)
+
+
+def test_bce_logits_respects_sample_mask():
+    from meme_challenge_tpu.train.losses import bce_logits_loss
+
+    logits = jnp.array([0.3, -0.7, 99.0, -99.0])
+    labels = jnp.array([1, 0, 0, 1])
+    full = bce_logits_loss(logits[:2], labels[:2], jnp.ones(2))[0]
+    masked = bce_logits_loss(logits, labels, jnp.array([1, 1, 0, 0]))[0]
+    assert float(full) == pytest.approx(float(masked), rel=1e-6)
+
+
+# -------------------------------------------------------- unit: schedules
+
+
+def test_warmup_cosine_matches_transformers():
+    import torch
+    from transformers import get_cosine_schedule_with_warmup
+
+    from meme_challenge_tpu.train.schedules import warmup_cosine_schedule
+
+    warm, total = 10, 100
+    sched = warmup_cosine_schedule(warm, total)
+    model = torch.nn.Linear(2, 2)
+    opt = torch.optim.Adam(model.parameters(), lr=1.0)
+    ref = get_cosine_schedule_with_warmup(opt, warm, total)
+    for step in range(total + 5):
+        ref_lr = ref.get_last_lr()[0]
+        ours = float(sched(step))
+        assert ours == pytest.approx(ref_lr, abs=1e-6), f"step {step}"
+        opt.step()
+        ref.step()
+
+
+def test_warmup_linear_matches_transformers():
+    import torch
+    from transformers import get_linear_schedule_with_warmup
+
+    from meme_challenge_tpu.train.schedules import warmup_linear_schedule
+
+    warm, total = 7, 55
+    sched = warmup_linear_schedule(warm, total)
+    model = torch.nn.Linear(2, 2)
+    opt = torch.optim.Adam(model.parameters(), lr=1.0)
+    ref = get_linear_schedule_with_warmup(opt, warm, total)
+    for step in range(total + 3):
+        assert float(sched(step)) == pytest.approx(
+            ref.get_last_lr()[0], abs=1e-6), f"step {step}"
+        opt.step()
+        ref.step()
+
+
+def test_optimizer_decay_mask():
+    from meme_challenge_tpu.train.optim import no_decay_mask
+
+    params = {
+        "encoder": {"q_kernel": np.zeros(2), "q_bias": np.zeros(2),
+                    "attn_ln_scale": np.zeros(2), "attn_ln_bias": np.zeros(2)},
+        "pooler": {"dense": {"kernel": np.zeros(2), "bias": np.zeros(2)}},
+    }
+    mask = no_decay_mask(params)
+    assert mask["encoder"]["q_kernel"] is True
+    assert mask["encoder"]["q_bias"] is False
+    assert mask["encoder"]["attn_ln_scale"] is False
+    assert mask["encoder"]["attn_ln_bias"] is False
+    assert mask["pooler"]["dense"]["kernel"] is True
+    assert mask["pooler"]["dense"]["bias"] is False
+
+
+# ------------------------------------------------- end-to-end: single fold
+
+
+@pytest.fixture(scope="module")
+def synth(tmp_path_factory):
+    from meme_challenge_tpu.utils.synthetic import make_synthetic_dataset
+
+    root = tmp_path_factory.mktemp("train_synth")
+    return make_synthetic_dataset(str(root), n_train=48, n_dev=16,
+                                  n_test=8, img_dim=32, label_signal=3.0)
+
+
+def _tiny_configs(synth, tmp_path, **overrides):
+    from meme_challenge_tpu.core.config import TrainConfig, UniterConfig
+
+    ucfg = UniterConfig(
+        vocab_size=64, hidden_size=32, num_hidden_layers=2,
+        num_attention_heads=2, intermediate_size=64, img_dim=32,
+        max_position_embeddings=32)
+    defaults = dict(
+        data_path=synth["root"], feature_path=synth["feature_dir"],
+        model_path=str(tmp_path / "ckpt"), model_save_name="tiny.ckpt",
+        lr=3e-3, batch_size=8, max_epoch=4, patience=3, warmup_steps=2,
+        gradient_accumulation=2, pos_wt=1.2, confounder_repeat=2,
+        max_txt_len=12, max_bb=16, seed=43)
+    defaults.update(overrides)
+    tcfg = TrainConfig(**defaults)
+    return ucfg, tcfg
+
+
+def test_single_fold_end_to_end(synth, tmp_path):
+    """Tiny UNITER must fit the synthetic signal and export all artifacts."""
+    from meme_challenge_tpu.core.seeding import set_seed
+    from meme_challenge_tpu.train.crossval_driver import train_crossval
+    from meme_challenge_tpu.train.train_uniter import build_entry
+
+    ucfg, tcfg = _tiny_configs(synth, tmp_path)
+    set_seed(tcfg.seed)
+    loader_funcs, test_loaders, trainer_factory = build_entry(
+        tcfg, ucfg, synth["vocab"])
+    val_metrics, test_metrics = train_crossval(
+        trainer_factory, tcfg, loader_funcs, test_loaders, num_folds=0)
+
+    assert val_metrics["aucroc"] > 0.85, val_metrics
+    # labeled test sets got metrics; unlabeled got leaderboard CSVs
+    assert "dev_unseen" in test_metrics and test_metrics["dev_unseen"]
+    assert test_metrics["test_seen"] == {}
+    ckpt_dir = tmp_path / "ckpt"
+    for name in ["test_seen", "test_unseen", "dev_seen", "dev_unseen"]:
+        csv = ckpt_dir / f"tiny_{name}_preds.csv"
+        assert csv.exists(), csv
+        header = csv.read_text().splitlines()[0]
+        expect = "id,proba,label" + (",gt" if name.startswith("dev") else "")
+        assert header == expect
+    metrics_json = json.loads((ckpt_dir / "tiny_metrics.json").read_text())
+    assert set(metrics_json) == {"dev", "train", "test"}
+    assert metrics_json["dev"]["aucroc"] == pytest.approx(
+        val_metrics["aucroc"])
+
+
+def test_crossval_with_ensemble(synth, tmp_path):
+    """2-fold crossval -> per-fold CSVs -> brute-force+EA ensemble export."""
+    from meme_challenge_tpu.core.seeding import set_seed
+    from meme_challenge_tpu.train.crossval_driver import train_crossval
+    from meme_challenge_tpu.train.train_uniter import build_entry
+
+    ucfg, tcfg = _tiny_configs(
+        synth, tmp_path, max_epoch=2, crossval_dev_size=8,
+        model_save_name="cv.ckpt")
+    set_seed(tcfg.seed)
+    loader_funcs, test_loaders, trainer_factory = build_entry(
+        tcfg, ucfg, synth["vocab"])
+    results = train_crossval(
+        trainer_factory, tcfg, loader_funcs, test_loaders,
+        num_folds=2, dev_size=8, use_dev_set=False,
+        ea_generations=3)
+
+    assert len(results["val_metrics"]) == 2
+    assert "mean_scores" in results
+    assert "ensemble" in results
+    ckpt = tmp_path / "ckpt"
+    fold_csvs = sorted(ckpt.glob("cv_fold_*_dev_seen_preds.csv"))
+    assert len(fold_csvs) == 2
+    ens = sorted(ckpt.glob("*_ensemble.csv"))
+    assert len(ens) >= 1, list(ckpt.iterdir())
+    # ensemble csv columns parse
+    first = ens[0].read_text().splitlines()
+    assert first[0].startswith("id,")
+
+
+def test_resume_roundtrip(synth, tmp_path):
+    """Full-state checkpoint restore continues from the same step (the
+    mid-training resume capability the reference lacks)."""
+    from meme_challenge_tpu.train.checkpoint import (
+        load_train_state,
+        save_train_state,
+    )
+    from meme_challenge_tpu.train.train_uniter import build_entry
+
+    ucfg, tcfg = _tiny_configs(synth, tmp_path, max_epoch=1,
+                               model_save_name="res.ckpt")
+    loader_funcs, _, trainer_factory = build_entry(tcfg, ucfg, synth["vocab"])
+    train_loader = loader_funcs["train"](synth["train"])
+    val_loader = loader_funcs["val"](synth["dev_seen"])
+    trainer = trainer_factory(tcfg, train_loader, val_loader, [])
+    trainer.train_main()
+    path = str(tmp_path / "state.ckpt")
+    save_train_state(path, trainer.state, epoch=1)
+    restored, epoch = load_train_state(path, trainer.state)
+    assert epoch == 1
+    assert int(restored.step) == int(trainer.state.step)
+    for a, b in zip(jax.tree.leaves(restored.params),
+                    jax.tree.leaves(trainer.state.params)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
