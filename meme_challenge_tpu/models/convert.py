@@ -264,3 +264,119 @@ def _with_zero_image_embeddings(sd: Mapping[str, np.ndarray],
     for k, v in defaults.items():
         out.setdefault(k, v)
     return out
+
+
+def hf_text_backbone_params(
+    sd: Mapping[str, np.ndarray],
+    config,
+) -> Params:
+    """Map a HuggingFace BERT/RoBERTa/ALBERT/ELECTRA state_dict onto
+    :class:`meme_challenge_tpu.models.text_models.TextBackbone`.
+
+    Handles the per-family HF naming:
+    - bert/roberta: ``embeddings.* / encoder.layer.{i}.* / pooler.*``
+    - electra: ``embeddings.*`` (embedding_size) + ``embeddings_project`` +
+      ``encoder.layer.{i}.*``, no pooler
+    - albert: ``embeddings.*`` + ``encoder.embedding_hidden_mapping_in`` +
+      ONE shared layer group ``encoder.albert_layer_groups.0.albert_layers.0``
+    """
+    sd = rename_reference_keys(
+        sd, strip_prefixes=("bert.", "roberta.", "electra.", "albert."))
+    family = config.family
+    out: Params = {}
+
+    def g(k):
+        return np.asarray(sd[k], dtype=np.float32)
+
+    out["word_embeddings"] = g("embeddings.word_embeddings.weight")
+    out["position_embeddings"] = g("embeddings.position_embeddings.weight")
+    if "embeddings.token_type_embeddings.weight" in sd:
+        out["token_type_embeddings"] = g(
+            "embeddings.token_type_embeddings.weight")
+    else:
+        out["token_type_embeddings"] = np.zeros(
+            (1, out["word_embeddings"].shape[1]), np.float32)
+    out["emb_ln_scale"] = g("embeddings.LayerNorm.weight")
+    out["emb_ln_bias"] = g("embeddings.LayerNorm.bias")
+
+    if family == "electra" and "embeddings_project.weight" in sd:
+        out["emb_proj"] = {"kernel": _t(g("embeddings_project.weight")),
+                           "bias": g("embeddings_project.bias")}
+    if family == "albert":
+        out["emb_proj"] = {
+            "kernel": _t(g("encoder.embedding_hidden_mapping_in.weight")),
+            "bias": g("encoder.embedding_hidden_mapping_in.bias")}
+
+    if family == "albert":
+        p = "encoder.albert_layer_groups.0.albert_layers.0."
+        L = 1
+
+        def stack1(key, transpose=False):
+            m = g(p + key)
+            if transpose:
+                m = m.T
+            return np.ascontiguousarray(m[None])
+
+        out["encoder"] = {
+            "q_kernel": stack1("attention.query.weight", True),
+            "q_bias": stack1("attention.query.bias"),
+            "k_kernel": stack1("attention.key.weight", True),
+            "k_bias": stack1("attention.key.bias"),
+            "v_kernel": stack1("attention.value.weight", True),
+            "v_bias": stack1("attention.value.bias"),
+            "attn_out_kernel": stack1("attention.dense.weight", True),
+            "attn_out_bias": stack1("attention.dense.bias"),
+            "attn_ln_scale": stack1("attention.LayerNorm.weight"),
+            "attn_ln_bias": stack1("attention.LayerNorm.bias"),
+            "ffn_in_kernel": stack1("ffn.weight", True),
+            "ffn_in_bias": stack1("ffn.bias"),
+            "ffn_out_kernel": stack1("ffn_output.weight", True),
+            "ffn_out_bias": stack1("ffn_output.bias"),
+            "ffn_ln_scale": stack1("full_layer_layer_norm.weight"),
+            "ffn_ln_bias": stack1("full_layer_layer_norm.bias"),
+        }
+    else:
+        L = config.num_hidden_layers
+
+        def stack(fmt, transpose=False):
+            mats = [np.asarray(sd[fmt.format(i)], dtype=np.float32)
+                    for i in range(L)]
+            if transpose:
+                mats = [m.T for m in mats]
+            return np.ascontiguousarray(np.stack(mats, axis=0))
+
+        out["encoder"] = {
+            "q_kernel": stack("encoder.layer.{}.attention.self.query.weight",
+                              True),
+            "q_bias": stack("encoder.layer.{}.attention.self.query.bias"),
+            "k_kernel": stack("encoder.layer.{}.attention.self.key.weight",
+                              True),
+            "k_bias": stack("encoder.layer.{}.attention.self.key.bias"),
+            "v_kernel": stack("encoder.layer.{}.attention.self.value.weight",
+                              True),
+            "v_bias": stack("encoder.layer.{}.attention.self.value.bias"),
+            "attn_out_kernel": stack(
+                "encoder.layer.{}.attention.output.dense.weight", True),
+            "attn_out_bias": stack(
+                "encoder.layer.{}.attention.output.dense.bias"),
+            "attn_ln_scale": stack(
+                "encoder.layer.{}.attention.output.LayerNorm.weight"),
+            "attn_ln_bias": stack(
+                "encoder.layer.{}.attention.output.LayerNorm.bias"),
+            "ffn_in_kernel": stack(
+                "encoder.layer.{}.intermediate.dense.weight", True),
+            "ffn_in_bias": stack("encoder.layer.{}.intermediate.dense.bias"),
+            "ffn_out_kernel": stack("encoder.layer.{}.output.dense.weight",
+                                    True),
+            "ffn_out_bias": stack("encoder.layer.{}.output.dense.bias"),
+            "ffn_ln_scale": stack("encoder.layer.{}.output.LayerNorm.weight"),
+            "ffn_ln_bias": stack("encoder.layer.{}.output.LayerNorm.bias"),
+        }
+
+    if "pooler.dense.weight" in sd:
+        out["pooler"] = {"dense": {"kernel": _t(g("pooler.dense.weight")),
+                                   "bias": g("pooler.dense.bias")}}
+    elif family == "albert" and "pooler.weight" in sd:
+        out["pooler"] = {"dense": {"kernel": _t(g("pooler.weight")),
+                                   "bias": g("pooler.bias")}}
+    return out

@@ -58,6 +58,12 @@ def _init(stddev: float):
     return nn.initializers.normal(stddev=stddev)
 
 
+class LayerNorm(nn.LayerNorm):
+    """flax LayerNorm pinned to eps 1e-12 (apex FusedLayerNorm parity)."""
+
+    epsilon: float = 1e-12
+
+
 def _layer_norm(x: Array, scale: Array, bias: Array, eps: float,
                 out_dtype) -> Array:
     """fp32 LayerNorm, eps 1e-12 (apex FusedLayerNorm parity)."""

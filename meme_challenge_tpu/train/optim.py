@@ -34,6 +34,59 @@ def no_decay_mask(params) -> dict:
     return jax.tree_util.tree_map_with_path(decide, params)
 
 
+def scale_updates_by_tree(scale_tree) -> optax.GradientTransformation:
+    """Multiply each update leaf by a (broadcastable) per-leaf scale.
+
+    Implements torch-style per-group learning rates (relative to the base
+    lr, reference text_based/train_pure_text.py:53-58) and layer freezing
+    (scale 0; reference train_pure_text.py:27-32) in one transform. Scales
+    may be scalars or arrays broadcasting against the leaf (e.g. ``[L,1,1]``
+    masks over the stacked encoder's layer axis).
+    """
+    def init(_params):
+        return optax.EmptyState()
+
+    def update(updates, state, params=None):
+        del params
+        new = jax.tree.map(lambda u, s: u * s, updates, scale_tree)
+        return new, state
+
+    return optax.GradientTransformation(init, update)
+
+
+def layer_freeze_scales(params, num_layers_freeze: int,
+                        encoder_keys=("encoder",)):
+    """Per-leaf scale tree freezing the first k stacked encoder layers.
+
+    The stacked ``[L, ...]`` layout means freezing is a per-layer mask over
+    the leading axis rather than a parameter-group split (reference freezes
+    ``encoder.layer.{i<k}`` by requires_grad, train_pure_text.py:27-32).
+    """
+    import numpy as np
+
+    def scale_for(path, leaf):
+        names = [str(p.key) if hasattr(p, "key") else str(p) for p in path]
+        if any(k in names for k in encoder_keys) and leaf.ndim >= 1:
+            L = leaf.shape[0]
+            mask = (np.arange(L) >= num_layers_freeze).astype(np.float32)
+            return mask.reshape((L,) + (1,) * (leaf.ndim - 1))
+        return 1.0
+
+    return jax.tree_util.tree_map_with_path(scale_for, params)
+
+
+def head_lr_scales(params, base_lr: float, head_lr: float,
+                   head_predicate: Callable) -> dict:
+    """Two-LR grouping: leaves matching ``head_predicate(path)`` train at
+    ``head_lr`` (reference group_param_func, train_pure_text.py:53-58)."""
+    rel = head_lr / base_lr
+
+    def scale_for(path, _leaf):
+        return rel if head_predicate(path) else 1.0
+
+    return jax.tree_util.tree_map_with_path(scale_for, params)
+
+
 def make_optimizer(
     name: str,
     lr: float,
@@ -45,6 +98,7 @@ def make_optimizer(
     max_grad_norm: Optional[float] = None,
     params_example=None,
     eps: float = 1e-8,
+    update_scales=None,
 ) -> optax.GradientTransformation:
     mask = (no_decay_mask(params_example)
             if params_example is not None else None)
@@ -68,6 +122,8 @@ def make_optimizer(
     if max_grad_norm is not None:
         steps.append(optax.clip_by_global_norm(max_grad_norm))
     steps.extend(core)
+    if update_scales is not None:
+        steps.append(scale_updates_by_tree(update_scales))
     steps.append(optax.scale_by_learning_rate(
         lambda step: lr * schedule_fn(step)))
     return optax.chain(*steps)

@@ -84,6 +84,7 @@ class Trainer:
         train_loader: Optional[BatchLoader],
         val_loader: Optional[BatchLoader],
         test_loaders: Optional[List[BatchLoader]] = None,
+        update_scales=None,
     ):
         self.config = config
         self.model = model
@@ -104,7 +105,7 @@ class Trainer:
         self.tx = make_optimizer(
             c.optimizer, c.lr, schedule, beta1=c.beta1, beta2=c.beta2,
             weight_decay=c.weight_decay, max_grad_norm=c.max_grad_norm,
-            params_example=params)
+            params_example=params, update_scales=update_scales)
         self.state = create_train_state(params, self.tx)
 
         def model_apply_train(params_, batch, rng):

@@ -1,0 +1,150 @@
+"""Tools (misclassification, feature converter, memotion prep) + Oscar model."""
+import json
+import os
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+
+def test_convert_feature_export_roundtrip(tmp_path):
+    from meme_challenge_tpu.data.meme_dataset import load_img_feature
+    from meme_challenge_tpu.tools.convert_feature_export import (
+        parse_numpy_file,
+    )
+
+    rng = np.random.RandomState(0)
+    nbb = 7
+    np.savez(
+        tmp_path / "00042.npz",
+        x=rng.randn(nbb, 16).astype(np.float32),
+        bbox=np.abs(rng.randn(nbb, 4)).astype(np.float32) * 50,
+        info=np.array({
+            "image_h": 300, "image_w": 400,
+            "objects_id": rng.randint(0, 100, nbb),
+            "objects_conf": rng.rand(nbb).astype(np.float32),
+        }, dtype=object),
+    )
+    out = tmp_path / "out"
+    out.mkdir()
+    parse_numpy_file(str(tmp_path / "00042.npz"), str(out))
+    assert (out / "00042.npy").exists()
+    assert (out / "00042_info.npy").exists()
+    # consumable by the dataset loader
+    feat, pos, objs, conf = load_img_feature(str(out), 42, normalize=True)
+    assert feat.shape == (nbb, 16)
+    assert pos.shape == (nbb, 7)
+    assert objs.shape == (nbb,)
+
+
+def test_misclassification_tool(tmp_path):
+    from meme_challenge_tpu.core.artifacts import export_predictions
+    from meme_challenge_tpu.core.artifacts import load_predictions
+    from meme_challenge_tpu.tools.misclassification import (
+        copy_misclassified_imgs,
+        misclassified_ids,
+    )
+
+    ids = np.array([1, 2, 3])
+    export_predictions(str(tmp_path / "res.csv"), ids,
+                       np.array([0.9, 0.2, 0.6]), np.array([1, 0, 1]),
+                       labels=np.array([1, 1, 0]))
+    res = load_predictions(str(tmp_path / "res.csv"))
+    assert misclassified_ids(res).tolist() == [2, 3]
+
+    img_dir = tmp_path / "imgs"
+    img_dir.mkdir()
+    for i in ids:
+        (img_dir / (str(i).zfill(5) + ".png")).write_bytes(b"png")
+    save = tmp_path / "save"
+    (save / "hateful").mkdir(parents=True)
+    (save / "not_hateful").mkdir()
+    copied = copy_misclassified_imgs(res, str(img_dir), str(save))
+    assert sorted(os.path.basename(c) for c in copied) == [
+        "00002.png", "00003.png"]
+    assert (save / "hateful" / "00002.png").exists()   # gt=1
+    assert (save / "not_hateful" / "00003.png").exists()  # gt=0
+
+
+def test_prep_memotion(tmp_path):
+    from meme_challenge_tpu.tools.prep_memotion import (
+        OFFSET_IDX,
+        generate_jsonl_file,
+        rename_img_feats,
+        scrub_text,
+    )
+
+    # NOTE: the reference's URL regex is greedy — a path consumes the rest
+    # of the line (prep_memotion.py:41); replicated faithfully
+    assert scrub_text("go to https://evil.com/x now") == "go to "
+    assert "example" not in scrub_text("see example.com please")
+
+    feat_dir = tmp_path / "img_feats"
+    feat_dir.mkdir()
+    # extractor outputs named image_{i}.npy before renaming
+    np.save(feat_dir / "image_1.npy", np.zeros((3, 4), np.float32))
+    np.save(feat_dir / "image_1_info.npy",
+            np.array({"bbox": np.zeros((3, 4))}, dtype=object))
+    n = rename_img_feats(str(feat_dir))
+    assert n == 2
+    assert (feat_dir / f"{int(1 + OFFSET_IDX)}.npy").exists()
+
+    with open(tmp_path / "labels.csv", "w") as f:
+        f.write(",image_name,text_corrected\n")
+        f.write("0,image_1.jpg,funny text www.spam.com here\n")
+        f.write("1,image_2.jpg,no features for this one\n")
+    out = generate_jsonl_file(str(tmp_path))
+    recs = [json.loads(l) for l in open(out) if l.strip()]
+    assert len(recs) == 1  # only the sample with features
+    assert recs[0]["id"] == str(int(1 + OFFSET_IDX))
+    assert "spam" not in recs[0]["text"]
+    assert recs[0]["label"] == 0
+
+
+def test_oscar_model_forward(rng):
+    from meme_challenge_tpu.core.config import UniterConfig
+    from meme_challenge_tpu.models.oscar import (
+        ImageBertForSequenceClassification,
+        oscar_batch_features,
+    )
+
+    cfg = UniterConfig(vocab_size=80, hidden_size=32, num_hidden_layers=2,
+                       num_attention_heads=2, intermediate_size=64,
+                       img_dim=16, max_position_embeddings=32,
+                       hidden_dropout_prob=0.0,
+                       attention_probs_dropout_prob=0.0)
+    B, T, R = 2, 8, 5
+    feats = jnp.asarray(rng.randn(B, R, 16), jnp.float32)
+    pos7 = jnp.asarray(rng.rand(B, R, 7), jnp.float32)
+    oscar_feat = oscar_batch_features(feats, pos7)
+    assert oscar_feat.shape == (B, R, 22)  # 16 + 6 (area term dropped)
+
+    for classifier in ["linear", "mlp"]:
+        model = ImageBertForSequenceClassification(
+            cfg, num_labels=2, classifier=classifier, img_feature_dim=22)
+        batch = {
+            "input_ids": jnp.asarray(rng.randint(0, 80, (B, T)), jnp.int32),
+            "txt_mask": jnp.ones((B, T), jnp.int32),
+            "img_feat": oscar_feat,
+            "img_mask": jnp.ones((B, R), jnp.int32),
+        }
+        params = model.init(jax.random.PRNGKey(0), batch,
+                            deterministic=True)["params"]
+        out = model.apply({"params": params}, batch, deterministic=True)
+        assert out.shape == (B, 2)
+        assert np.isfinite(np.asarray(out)).all()
+        if classifier == "mlp":
+            assert "cls_hidden" in params
+    # text-only path (img_feature_dim==0 equivalent: no img batch keys)
+    model = ImageBertForSequenceClassification(cfg, num_labels=2,
+                                               img_feature_dim=22)
+    batch_txt = {
+        "input_ids": jnp.asarray(rng.randint(0, 80, (B, T)), jnp.int32),
+        "txt_mask": jnp.ones((B, T), jnp.int32),
+    }
+    params = model.init(jax.random.PRNGKey(0), batch_txt,
+                        deterministic=True)
+    out = model.apply(params, batch_txt, deterministic=True)
+    assert out.shape == (B, 2)
