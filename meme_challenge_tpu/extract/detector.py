@@ -1,0 +1,325 @@
+"""BUA Faster R-CNN detector: RPN, ROI heads, and the extraction pipeline.
+
+Parity target: the reference's ``GeneralizedBUARCNN`` inference path
+(bottom-up-attention.pytorch, configs/bua-caffe/extract-bua-caffe-r101.yaml):
+
+- **BUA RPN** (StandardBUARPNHead): 3×3 conv (512 ch) → objectness +
+  box deltas over 12 anchors (scales [4, 8, 16, 32] × stride 16, ratios
+  [0.5, 1, 2]); proposal selection pre-NMS topk 6000 → NMS 0.7 → topk 300,
+  min size 16 (PROPOSAL_GENERATOR.MIN_SIZE).
+- **BUACaffeRes5ROIHeads**: ROIPool 14×14 on res4 → res5 (dilation 2) →
+  global average pool (2048-d region features) → 1601-way classifier +
+  class-agnostic-ish bbox regression + 401-way attribute head.
+- **Extraction post-processing** (reference utils/extract_utils.py:59-110):
+  per-class NMS (IoU 0.3) over the 1600 foreground classes, per-box max
+  confidence, conf-threshold ∩ [MIN_BOXES=10, MAX_BOXES=100] box budget,
+  npz export {x, bbox, num_bbox, image_h/w, info{objects_id, objects_conf,
+  attrs_id, attrs_conf}}.
+- **Modes** (reference extract_features.py:100-129): 1 = ROI features,
+  2 = bboxes only, 3 = features from given (gt) bboxes.
+
+Image preprocessing is Caffe-style: BGR, per-channel mean subtraction
+(PIXEL_MEAN [102.9801, 115.9465, 122.7717]), shortest side 600 / longest
+1000 (utils/extract_utils.py:28-57).
+
+The heavy compute (backbone, res5, heads) is jitted JAX; proposal NMS and
+the per-class extraction NMS run through the native C++ ops (host) —
+matching the reference's native-op surface — with JAX fallbacks available
+in extract/ops.py.
+"""
+from __future__ import annotations
+
+import dataclasses
+import logging
+from functools import partial
+from typing import Dict, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from flax import linen as nn
+
+from meme_challenge_tpu.extract import native
+from meme_challenge_tpu.extract.resnet import CaffeResNetBackbone, Res5Head
+
+logger = logging.getLogger("meme_challenge_tpu.extract")
+
+Array = jax.Array
+
+PIXEL_MEAN_BGR = np.array([102.9801, 115.9465, 122.7717], np.float32)
+
+
+@dataclasses.dataclass(frozen=True)
+class DetectorConfig:
+    depth: int = 101
+    anchor_scales: Tuple[int, ...] = (4, 8, 16, 32)
+    anchor_ratios: Tuple[float, ...] = (0.5, 1.0, 2.0)
+    anchor_base: int = 16                 # feature stride
+    rpn_channels: int = 512
+    pre_nms_topk: int = 6000
+    post_nms_topk: int = 300
+    rpn_nms_thresh: float = 0.7
+    rpn_min_size: float = 16.0
+    num_classes: int = 1601               # incl. background at index 0
+    num_attributes: int = 401
+    pooler_resolution: int = 14
+    test_nms_thresh: float = 0.3
+    min_boxes: int = 10
+    max_boxes: int = 100
+    conf_thresh: float = 0.2
+    min_size: int = 600
+    max_size: int = 1000
+
+
+def make_anchors(cfg: DetectorConfig, feat_h: int, feat_w: int) -> np.ndarray:
+    """Dense anchors [H*W*A, 4] in image coordinates (x1,y1,x2,y2)."""
+    base = cfg.anchor_base
+    anchors = []
+    for scale in cfg.anchor_scales:
+        size = scale * base
+        area = float(size * size)
+        for ratio in cfg.anchor_ratios:
+            w = np.sqrt(area / ratio)
+            h = w * ratio
+            anchors.append([-w / 2, -h / 2, w / 2, h / 2])
+    cell = np.asarray(anchors, np.float32)                 # [A, 4]
+    ys = (np.arange(feat_h, dtype=np.float32)) * base
+    xs = (np.arange(feat_w, dtype=np.float32)) * base
+    shift_x, shift_y = np.meshgrid(xs, ys)
+    shifts = np.stack([shift_x, shift_y, shift_x, shift_y],
+                      axis=-1).reshape(-1, 1, 4)
+    return (shifts + cell[None]).reshape(-1, 4)
+
+
+def decode_boxes(anchors: Array, deltas: Array,
+                 weights=(1.0, 1.0, 1.0, 1.0)) -> Array:
+    """Faster R-CNN box decoding (BBOX_REG_WEIGHTS (1,1,1,1))."""
+    wx, wy, ww, wh = weights
+    widths = anchors[:, 2] - anchors[:, 0]
+    heights = anchors[:, 3] - anchors[:, 1]
+    cx = anchors[:, 0] + 0.5 * widths
+    cy = anchors[:, 1] + 0.5 * heights
+    dx, dy, dw, dh = (deltas[:, 0] / wx, deltas[:, 1] / wy,
+                      deltas[:, 2] / ww, deltas[:, 3] / wh)
+    dw = jnp.clip(dw, None, 4.135)  # log(1000/16): detectron2 clamp
+    dh = jnp.clip(dh, None, 4.135)
+    pcx = dx * widths + cx
+    pcy = dy * heights + cy
+    pw = jnp.exp(dw) * widths
+    ph = jnp.exp(dh) * heights
+    return jnp.stack([pcx - 0.5 * pw, pcy - 0.5 * ph,
+                      pcx + 0.5 * pw, pcy + 0.5 * ph], axis=1)
+
+
+class BUARPNHead(nn.Module):
+    """3×3 conv → objectness + deltas (StandardBUARPNHead, 512 channels)."""
+
+    cfg: DetectorConfig
+
+    @nn.compact
+    def __call__(self, feat: Array) -> Tuple[Array, Array]:
+        A = len(self.cfg.anchor_scales) * len(self.cfg.anchor_ratios)
+        t = jax.nn.relu(nn.Conv(self.cfg.rpn_channels, (3, 3), padding=1,
+                                name="conv")(feat))
+        logits = nn.Conv(A, (1, 1), name="objectness")(t)
+        deltas = nn.Conv(A * 4, (1, 1), name="anchor_deltas")(t)
+        return logits, deltas
+
+
+class BUAROIHead(nn.Module):
+    """res5 + classification/regression/attribute outputs over pooled ROIs."""
+
+    cfg: DetectorConfig
+
+    def setup(self):
+        c = self.cfg
+        self.res5 = Res5Head(c.depth)
+        self.cls_score = nn.Dense(c.num_classes, name="cls_score")
+        self.bbox_pred = nn.Dense(c.num_classes * 4, name="bbox_pred")
+        # BUA attribute head: class embedding ⊕ pooled feature → fc → attrs
+        self.cls_embed = nn.Embed(c.num_classes, 256, name="cls_embed")
+        self.attr_fc = nn.Dense(512, name="attr_fc")
+        self.attr_score = nn.Dense(c.num_attributes, name="attr_score")
+
+    def __call__(self, pooled: Array) -> Dict[str, Array]:
+        """pooled: [R, ph, pw, 1024] (NHWC) → heads."""
+        y = self.res5(pooled)
+        feats = y.mean(axis=(1, 2))                     # [R, 2048]
+        cls_logits = self.cls_score(feats)
+        cls_prob = jax.nn.softmax(cls_logits, axis=-1)
+        deltas = self.bbox_pred(feats)
+        top_class = jnp.argmax(cls_prob[:, 1:], axis=-1) + 1
+        attr_in = jnp.concatenate(
+            [feats, self.cls_embed(top_class)], axis=-1)
+        attr_logits = self.attr_score(jax.nn.relu(self.attr_fc(attr_in)))
+        return {
+            "features": feats,
+            "cls_prob": cls_prob,
+            "bbox_deltas": deltas,
+            "attr_prob": jax.nn.softmax(attr_logits, axis=-1),
+        }
+
+
+class BUADetector(nn.Module):
+    """Backbone + RPN head + ROI head parameter container."""
+
+    cfg: DetectorConfig
+
+    def setup(self):
+        self.backbone = CaffeResNetBackbone(self.cfg.depth)
+        self.rpn = BUARPNHead(self.cfg)
+        self.roi_head = BUAROIHead(self.cfg)
+
+    def backbone_rpn(self, images: Array):
+        feat = self.backbone(images)
+        logits, deltas = self.rpn(feat)
+        return feat, logits, deltas
+
+    def roi_forward(self, pooled: Array):
+        return self.roi_head(pooled)
+
+
+# --------------------------------------------------------------------- utils
+
+def get_image_blob(img_bgr: np.ndarray, cfg: DetectorConfig
+                   ) -> Tuple[np.ndarray, float]:
+    """Caffe preprocessing: BGR float − pixel mean, shortest side
+    ``min_size`` capped at ``max_size`` (reference utils/extract_utils.py:
+    28-57). Returns (blob [1, H, W, 3], scale)."""
+    im = img_bgr.astype(np.float32) - PIXEL_MEAN_BGR
+    h, w = im.shape[:2]
+    scale = cfg.min_size / min(h, w)
+    if scale * max(h, w) > cfg.max_size:
+        scale = cfg.max_size / max(h, w)
+    new_h, new_w = int(round(h * scale)), int(round(w * scale))
+    # bilinear resize via jax.image on host is fine at this size
+    im = np.asarray(jax.image.resize(jnp.asarray(im), (new_h, new_w, 3),
+                                     method="bilinear"))
+    return im[None], scale
+
+
+class FeatureExtractor:
+    """End-to-end extraction driver (reference extract_features.py:41-130)."""
+
+    def __init__(self, cfg: DetectorConfig, params):
+        self.cfg = cfg
+        self.model = BUADetector(cfg)
+        self.params = params
+        self._backbone_rpn = jax.jit(
+            lambda p, x: self.model.apply(
+                {"params": p}, x, method=BUADetector.backbone_rpn))
+        self._roi_forward = jax.jit(
+            lambda p, x: self.model.apply(
+                {"params": p}, x, method=BUADetector.roi_forward))
+
+    # -------------------------------------------------------------- proposals
+
+    def _proposals(self, logits: np.ndarray, deltas: np.ndarray,
+                   im_h: int, im_w: int) -> np.ndarray:
+        cfg = self.cfg
+        fh, fw, A = logits.shape[1], logits.shape[2], logits.shape[3]
+        anchors = make_anchors(cfg, fh, fw)
+        scores = jax.nn.sigmoid(jnp.asarray(logits[0])).reshape(-1)
+        deltas = np.asarray(deltas[0]).reshape(fh, fw, A, 4).reshape(-1, 4)
+        boxes = np.array(decode_boxes(jnp.asarray(anchors),
+                                      jnp.asarray(deltas)))
+        boxes[:, 0::2] = boxes[:, 0::2].clip(0, im_w - 1)
+        boxes[:, 1::2] = boxes[:, 1::2].clip(0, im_h - 1)
+        scores = np.asarray(scores)
+        # min-size filter (PROPOSAL_GENERATOR.MIN_SIZE 16)
+        keep = ((boxes[:, 2] - boxes[:, 0] >= cfg.rpn_min_size)
+                & (boxes[:, 3] - boxes[:, 1] >= cfg.rpn_min_size))
+        boxes, scores = boxes[keep], scores[keep]
+        order = np.argsort(-scores)[: cfg.pre_nms_topk]
+        boxes, scores = boxes[order], scores[order]
+        keep_idx = native.nms(boxes, scores, cfg.rpn_nms_thresh)
+        keep_idx = keep_idx[: cfg.post_nms_topk]
+        return boxes[keep_idx]
+
+    # -------------------------------------------------------------- pipeline
+
+    def extract(self, img_bgr: np.ndarray, mode: int = 1,
+                gt_boxes: Optional[np.ndarray] = None) -> Dict[str, np.ndarray]:
+        """mode 1 = features (+boxes), 2 = boxes only, 3 = features for
+        ``gt_boxes`` (image coordinates)."""
+        cfg = self.cfg
+        blob, scale = get_image_blob(img_bgr, cfg)
+        im_h, im_w = blob.shape[1:3]
+        feat, logits, deltas = self._backbone_rpn(self.params, blob)
+
+        if mode == 3:
+            assert gt_boxes is not None, "mode 3 needs gt bboxes"
+            proposals = np.asarray(gt_boxes, np.float32) * scale
+        else:
+            proposals = self._proposals(np.asarray(logits),
+                                        np.asarray(deltas), im_h, im_w)
+
+        pooled = native.roi_pool(
+            np.asarray(feat[0]).transpose(2, 0, 1), proposals,
+            spatial_scale=1.0 / cfg.anchor_base,
+            output_size=(cfg.pooler_resolution, cfg.pooler_resolution))
+        pooled = jnp.asarray(pooled.transpose(0, 2, 3, 1))   # [R,ph,pw,C]
+        out = {k: np.asarray(v) for k, v in
+               self._roi_forward(self.params, pooled).items()}
+
+        boxes_img = proposals / scale                         # back to image
+        if mode == 2:
+            sel = self._select_boxes(out["cls_prob"], boxes_img)
+            return {"bbox": boxes_img[sel], "cls_prob": out["cls_prob"][sel]}
+        sel = (np.arange(len(boxes_img)) if mode == 3
+               else self._select_boxes(out["cls_prob"], boxes_img))
+        cls_prob = out["cls_prob"][sel]
+        attr_prob = out["attr_prob"][sel]
+        objects = cls_prob[:, 1:].argmax(axis=1)
+        return {
+            "x": out["features"][sel],
+            "bbox": boxes_img[sel],
+            "num_bbox": len(sel) if np.ndim(sel) else len(boxes_img),
+            "image_h": img_bgr.shape[0],
+            "image_w": img_bgr.shape[1],
+            "info": {
+                "objects_id": objects,
+                "objects_conf": cls_prob[np.arange(len(objects)),
+                                         objects + 1],
+                "attrs_id": attr_prob[:, 1:].argmax(axis=1),
+                "attrs_conf": attr_prob[np.arange(len(attr_prob)),
+                                        attr_prob[:, 1:].argmax(axis=1) + 1],
+                "image_h": img_bgr.shape[0],
+                "image_w": img_bgr.shape[1],
+            },
+        }
+
+    def _select_boxes(self, cls_prob: np.ndarray,
+                      boxes: np.ndarray) -> np.ndarray:
+        """save_roi_features box selection (reference utils/extract_utils.py:
+        59-110): per-class NMS IoU ``test_nms_thresh`` over foreground
+        classes → per-box max surviving confidence → conf threshold within
+        the [min_boxes, max_boxes] budget."""
+        cfg = self.cfg
+        n = cls_prob.shape[0]
+        max_conf = np.zeros(n, np.float32)
+        for cls_idx in range(1, cls_prob.shape[1]):
+            scores = cls_prob[:, cls_idx]
+            keep = native.nms(boxes, scores, cfg.test_nms_thresh)
+            max_conf[keep] = np.maximum(max_conf[keep], scores[keep])
+        order = np.argsort(-max_conf)
+        above = (max_conf > cfg.conf_thresh).sum()
+        num = min(max(int(above), cfg.min_boxes), cfg.max_boxes, n)
+        return order[:num]
+
+
+def init_detector_params(cfg: DetectorConfig, rng,
+                         image_hw: Tuple[int, int] = (64, 64)):
+    """Random-init parameter tree (shape-complete, for tests and as the
+    conversion target for the Caffe checkpoints)."""
+    model = BUADetector(cfg)
+    h, w = image_hw
+    dummy = jnp.zeros((1, h, w, 3), jnp.float32)
+    params = model.init(rng, dummy, method=BUADetector.backbone_rpn)["params"]
+    ph = cfg.pooler_resolution
+    pooled = jnp.zeros((2, ph, ph, 1024), jnp.float32)
+    roi_params = model.init(rng, pooled,
+                            method=BUADetector.roi_forward)["params"]
+    merged = dict(params)
+    merged.update(roi_params)
+    return merged

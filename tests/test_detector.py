@@ -1,0 +1,224 @@
+"""BUA detector smoke/structure tests: backbone strides, anchors, box
+decoding vs an independent oracle, full extraction pipeline on a synthetic
+image, converter shape-compatibility."""
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from meme_challenge_tpu.extract.detector import (
+    BUADetector,
+    DetectorConfig,
+    FeatureExtractor,
+    decode_boxes,
+    get_image_blob,
+    init_detector_params,
+    make_anchors,
+)
+
+SMALL_CFG = DetectorConfig(depth=101, pre_nms_topk=200, post_nms_topk=20,
+                           min_boxes=3, max_boxes=8, conf_thresh=0.0,
+                           min_size=64, max_size=96)
+
+
+@pytest.fixture(scope="module")
+def det_params():
+    return init_detector_params(SMALL_CFG, jax.random.PRNGKey(0),
+                                image_hw=(64, 64))
+
+
+def test_backbone_stride_16(det_params):
+    model = BUADetector(SMALL_CFG)
+    img = jnp.zeros((1, 64, 96, 3), jnp.float32)
+    feat, logits, deltas = model.apply(
+        {"params": det_params}, img, method=BUADetector.backbone_rpn)
+    assert feat.shape == (1, 4, 6, 1024)      # stride 16
+    assert logits.shape == (1, 4, 6, 12)      # 4 scales × 3 ratios
+    assert deltas.shape == (1, 4, 6, 48)
+
+
+def test_anchor_layout():
+    cfg = SMALL_CFG
+    anchors = make_anchors(cfg, 2, 3)
+    assert anchors.shape == (2 * 3 * 12, 4)
+    # anchor centered at the cell, area ≈ (scale·16)², aspect = ratio
+    a0 = anchors[0]
+    w, h = a0[2] - a0[0], a0[3] - a0[1]
+    assert w * h == pytest.approx((4 * 16) ** 2, rel=1e-5)
+    assert h / w == pytest.approx(0.5, rel=1e-5)
+
+
+def test_decode_boxes_oracle(rng):
+    anchors = jnp.asarray(
+        np.array([[10, 20, 50, 60], [0, 0, 100, 40]], np.float32))
+    deltas = jnp.asarray(rng.randn(2, 4).astype(np.float32) * 0.1)
+    got = np.asarray(decode_boxes(anchors, deltas))
+    for i in range(2):
+        ax1, ay1, ax2, ay2 = np.asarray(anchors[i])
+        dx, dy, dw, dh = np.asarray(deltas[i])
+        w, h = ax2 - ax1, ay2 - ay1
+        cx, cy = ax1 + w / 2 + dx * w, ay1 + h / 2 + dy * h
+        nw, nh = w * np.exp(dw), h * np.exp(dh)
+        expect = [cx - nw / 2, cy - nh / 2, cx + nw / 2, cy + nh / 2]
+        np.testing.assert_allclose(got[i], expect, rtol=1e-5)
+
+
+def test_image_blob_resize():
+    img = np.zeros((120, 240, 3), np.uint8)
+    blob, scale = get_image_blob(img, SMALL_CFG)
+    # shortest side would be 64 → long side 128 > 96 cap → scale by long side
+    assert blob.shape[0] == 1
+    assert max(blob.shape[1:3]) <= SMALL_CFG.max_size
+    assert scale == pytest.approx(96 / 240)
+    # mean-subtracted: zero image becomes negative means
+    assert blob.min() < -100
+
+
+@pytest.mark.parametrize("mode", [1, 2])
+def test_extraction_pipeline_modes(det_params, mode):
+    extractor = FeatureExtractor(SMALL_CFG, det_params)
+    rng = np.random.RandomState(0)
+    img = rng.randint(0, 255, (80, 100, 3)).astype(np.uint8)
+    out = extractor.extract(img, mode=mode)
+    if mode == 2:
+        assert "bbox" in out and "cls_prob" in out
+        assert out["bbox"].shape[1] == 4
+    else:
+        assert out["x"].shape[1] == 2048
+        # random-init RPN can collapse to few proposals after NMS; the
+        # [min_boxes, max_boxes] budget is unit-tested in
+        # test_select_boxes_budget
+        assert 1 <= out["x"].shape[0] <= SMALL_CFG.max_boxes
+        assert out["bbox"].shape[0] == out["x"].shape[0]
+        # boxes are in ORIGINAL image coordinates
+        assert out["bbox"][:, 2].max() <= 100 + 1e-3
+        assert out["info"]["objects_id"].shape[0] == out["x"].shape[0]
+        assert out["info"]["objects_conf"].min() >= 0
+
+
+def test_extraction_mode3_gt_boxes(det_params):
+    extractor = FeatureExtractor(SMALL_CFG, det_params)
+    rng = np.random.RandomState(1)
+    img = rng.randint(0, 255, (80, 100, 3)).astype(np.uint8)
+    gt = np.array([[5, 5, 60, 60], [20, 10, 90, 70]], np.float32)
+    out = extractor.extract(img, mode=3, gt_boxes=gt)
+    assert out["x"].shape == (2, 2048)
+    np.testing.assert_allclose(out["bbox"], gt, atol=1e-4)
+
+
+def test_detector_converter_shapes(det_params):
+    """A synthetic detectron2-style state_dict maps onto the flax tree with
+    matching shapes everywhere."""
+    from meme_challenge_tpu.extract.convert_detector import (
+        detector_params_from_torch,
+    )
+    from meme_challenge_tpu.extract.resnet import RESNET_STAGES
+
+    cfg = SMALL_CFG
+    n2, n3, n4, n5 = RESNET_STAGES[cfg.depth]
+    rng = np.random.RandomState(0)
+    sd = {}
+
+    def add_conv(key, cout, cin, k):
+        sd[key + ".weight"] = rng.randn(cout, cin, k, k).astype(np.float32)
+        sd[key + ".norm.weight"] = np.ones(cout, np.float32)
+        sd[key + ".norm.bias"] = np.zeros(cout, np.float32)
+
+    add_conv("backbone.stem.conv1", 64, 3, 7)
+    specs = {"res2": (n2, 256, 64, 64), "res3": (n3, 512, 128, 256),
+             "res4": (n4, 1024, 256, 512)}
+    prev = {"res2": 64, "res3": 256, "res4": 512}
+    for stage, (n, cout, cmid, _) in specs.items():
+        cin = {"res2": 64, "res3": 256, "res4": 512}[stage]
+        for i in range(n):
+            p = f"backbone.{stage}.{i}"
+            block_in = cin if i == 0 else cout
+            add_conv(p + ".conv1", cmid, block_in, 1)
+            add_conv(p + ".conv2", cmid, cmid, 3)
+            add_conv(p + ".conv3", cout, cmid, 1)
+            if i == 0:
+                add_conv(p + ".shortcut", cout, block_in, 1)
+    for i in range(n5):
+        p = f"roi_heads.res5.{i}"
+        block_in = 1024 if i == 0 else 2048
+        add_conv(p + ".conv1", 512, block_in, 1)
+        add_conv(p + ".conv2", 512, 512, 3)
+        add_conv(p + ".conv3", 2048, 512, 1)
+        if i == 0:
+            add_conv(p + ".shortcut", 2048, block_in, 1)
+    sd["roi_heads.box_predictor.cls_score.weight"] = rng.randn(
+        cfg.num_classes, 2048).astype(np.float32)
+    sd["roi_heads.box_predictor.cls_score.bias"] = np.zeros(
+        cfg.num_classes, np.float32)
+    sd["roi_heads.box_predictor.bbox_pred.weight"] = rng.randn(
+        cfg.num_classes * 4, 2048).astype(np.float32)
+    sd["roi_heads.box_predictor.bbox_pred.bias"] = np.zeros(
+        cfg.num_classes * 4, np.float32)
+    sd["roi_heads.box_predictor.cls_embedding.weight"] = rng.randn(
+        cfg.num_classes, 256).astype(np.float32)
+    sd["roi_heads.box_predictor.attr_linear1.weight"] = rng.randn(
+        512, 2048 + 256).astype(np.float32)
+    sd["roi_heads.box_predictor.attr_linear1.bias"] = np.zeros(
+        512, np.float32)
+    sd["roi_heads.box_predictor.attr_linear2.weight"] = rng.randn(
+        cfg.num_attributes, 512).astype(np.float32)
+    sd["roi_heads.box_predictor.attr_linear2.bias"] = np.zeros(
+        cfg.num_attributes, np.float32)
+    sd["proposal_generator.rpn_head.conv.weight"] = rng.randn(
+        512, 1024, 3, 3).astype(np.float32)
+    sd["proposal_generator.rpn_head.conv.bias"] = np.zeros(512, np.float32)
+    sd["proposal_generator.rpn_head.objectness_logits.weight"] = rng.randn(
+        12, 512, 1, 1).astype(np.float32)
+    sd["proposal_generator.rpn_head.objectness_logits.bias"] = np.zeros(
+        12, np.float32)
+    sd["proposal_generator.rpn_head.anchor_deltas.weight"] = rng.randn(
+        48, 512, 1, 1).astype(np.float32)
+    sd["proposal_generator.rpn_head.anchor_deltas.bias"] = np.zeros(
+        48, np.float32)
+
+    converted = detector_params_from_torch(sd, cfg)
+
+    def compare_trees(ref, got, path=""):
+        assert set(ref.keys()) == set(got.keys()), (
+            path, sorted(ref.keys()), sorted(got.keys()))
+        for k in ref:
+            if isinstance(ref[k], dict):
+                compare_trees(ref[k], got[k], path + "/" + k)
+            else:
+                assert np.shape(ref[k]) == np.shape(got[k]), (
+                    path + "/" + k, np.shape(ref[k]), np.shape(got[k]))
+
+    compare_trees(det_params, converted)
+
+
+def test_select_boxes_budget(det_params):
+    """Box selection: per-class NMS → conf threshold ∩ [min, max] budget
+    (reference utils/extract_utils.py:59-110)."""
+    extractor = FeatureExtractor(SMALL_CFG, det_params)
+    rng = np.random.RandomState(0)
+    n, C = 30, SMALL_CFG.num_classes
+    # non-overlapping boxes so NMS keeps everything
+    boxes = np.stack([np.arange(n) * 50.0, np.zeros(n),
+                      np.arange(n) * 50.0 + 40, np.full(n, 40.0)],
+                     axis=1).astype(np.float32)
+    cls_prob = rng.rand(n, C).astype(np.float32) * 0.01
+    cls_prob[:5, 10] = 0.9          # 5 confident boxes
+    sel = extractor._select_boxes(cls_prob, boxes)
+    cfg2 = SMALL_CFG
+    # above-threshold(0.0) count is n -> capped at max_boxes
+    assert len(sel) == cfg2.max_boxes
+    # highest-confidence boxes come first
+    assert set(sel[:5]) == set(range(5))
+
+    # 5 boxes above a 0.5 threshold -> exactly those 5 kept (within budget)
+    import dataclasses as dc
+    extractor.cfg = dc.replace(SMALL_CFG, conf_thresh=0.5)
+    sel2 = extractor._select_boxes(cls_prob, boxes)
+    assert len(sel2) == 5
+    assert set(sel2) == set(range(5))
+    # threshold above everything -> padded up to min_boxes
+    extractor.cfg = dc.replace(SMALL_CFG, conf_thresh=0.99)
+    sel3 = extractor._select_boxes(cls_prob, boxes)
+    assert len(sel3) == SMALL_CFG.min_boxes
+    extractor.cfg = SMALL_CFG
