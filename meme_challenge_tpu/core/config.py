@@ -91,7 +91,8 @@ class TrainConfig:
     data_path: str = "./dataset"
     feature_path: str = "./dataset/img_feats"
     model_path: str = "./model_checkpoints"
-    vis_path: str = "./vis_checkpoints"
+    vis_path: str = ""   # scalar-log dir ("" = off; reference default
+                         # ./vis_checkpoints — pass it to enable TB logs)
     model_save_name: str = "best_model"
     config: str = ""                    # JSON model-config path (optional)
     pretrained_model_file: Optional[str] = None

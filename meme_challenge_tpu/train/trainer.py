@@ -138,6 +138,13 @@ class Trainer:
         self.test_metrics: Dict[str, dict] = {}
         self.total_iters = 0
         self.scalars: List[tuple] = []  # (name, step, value) observability log
+        self.writer = None
+        if c.vis_path:
+            from meme_challenge_tpu.train.observability import ScalarWriter
+
+            self.writer = ScalarWriter(
+                os.path.join(c.vis_path,
+                             c.model_save_name.rsplit(".", 1)[0]))
 
     # ------------------------------------------------------------------ train
 
@@ -213,6 +220,12 @@ class Trainer:
                 epoch, c.max_epoch, self.train_loss,
                 self.train_metrics.get("aucroc", -1), self.val_loss,
                 self.val_metrics.get("aucroc", -1), time.time() - start)
+
+            if self.writer is not None:
+                self.writer.add_scalars(
+                    (n, s, v) for n, s, v in self.scalars)
+                self.scalars.clear()
+                self.writer.flush()
 
             self.check_early_stopping()
             if self.terminate_training:
@@ -331,6 +344,8 @@ class Trainer:
             logger.info("No model checkpoints were saved; skipping testing.")
 
         self.export_metrics()
+        if self.writer is not None:
+            self.writer.close()
         if c.remove_checkpoints and os.path.isfile(self.model_file):
             os.remove(self.model_file)
         return self.best_val_metrics, self.test_metrics
