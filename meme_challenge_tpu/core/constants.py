@@ -15,3 +15,4 @@ MAX_TXT_LEN = 60        # max BERT BPE tokens per meme text
 MAX_BB = 100            # max region boxes per image
 MIN_BB = 10             # min region boxes kept by the extractor
 NUM_BB_FIXED = 36       # fixed-box extraction mode
+BUCKET_SIZE = 8192        # id-bucketing constant carried from reference utils/const.py:4

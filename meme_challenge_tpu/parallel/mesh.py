@@ -22,6 +22,22 @@ from jax.experimental import mesh_utils
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 
+def initialize_distributed(coordinator_address: Optional[str] = None,
+                           num_processes: Optional[int] = None,
+                           process_id: Optional[int] = None) -> None:
+    """Multi-host initialization (replaces the reference's NCCL
+    ``detectron2.engine.launch`` path, SURVEY.md §5): after this,
+    ``jax.devices()`` is global and meshes span hosts — ICI within a slice,
+    DCN across slices, all through sharding specs."""
+    import jax
+
+    kwargs = {}
+    if coordinator_address is not None:
+        kwargs = dict(coordinator_address=coordinator_address,
+                      num_processes=num_processes, process_id=process_id)
+    jax.distributed.initialize(**kwargs)
+
+
 def make_mesh(shape: Sequence[int] = (),
               axes: Sequence[str] = ("fold", "data"),
               devices: Optional[Sequence] = None) -> Mesh:

@@ -27,7 +27,7 @@ logger = logging.getLogger("meme_challenge_tpu.train_hatespeech")
 
 HATESPEECH_DEFAULTS = dict(
     lr=5e-5, warmup_steps=100, scheduler="warmup_cosine", optimizer="adamw",
-    loss_func="ce", log_every=50, max_epoch=10, batch_size=32)
+    loss_func="ce", optimize_for="accuracy", log_every=50, max_epoch=10, batch_size=32)
 
 
 def run_hatespeech(config: TrainConfig, model_name: str, vocab_file: str,

@@ -294,6 +294,17 @@ class Trainer:
 
     # ------------------------------------------------------------ end of run
 
+    @staticmethod
+    def _binary_probs(probs: np.ndarray) -> np.ndarray:
+        """CSV/threshold export needs 1-D probabilities. Binary CE → p(class
+        1); multiclass → max-class probability (the id,proba,label schema is
+        inherently binary; the reference's CE path never reached export)."""
+        if probs.ndim == 1:
+            return probs
+        if probs.shape[1] == 2:
+            return probs[:, 1]
+        return probs.max(axis=1)
+
     def _csv_path(self, dataset_name: str) -> str:
         base = self.config.model_save_name.rsplit(".", 1)[0]
         return os.path.join(self.config.model_path,
@@ -313,6 +324,7 @@ class Trainer:
             # optimal threshold on validation (train_template.py:304-310)
             val_metrics, val_loss = self.eval_model(self.val_loader)
             val_probs, val_labels = self._last_eval
+            val_probs = self._binary_probs(val_probs)
             val_ids = np.zeros_like(val_labels) - 1
             if self.val_loader.dataset.return_ids:
                 _, val_ids, _ = self.predict(self.val_loader)
@@ -329,6 +341,7 @@ class Trainer:
                 if loader.dataset.labels[0] == -1:
                     # unlabeled leaderboard export (train_template.py:157-192)
                     probs, ids, _ = self.predict(loader)
+                    probs = self._binary_probs(probs)
                     export_predictions(
                         self._csv_path(name), ids, probs,
                         (probs > threshold).astype(np.int64))
@@ -337,6 +350,7 @@ class Trainer:
                     metrics, _ = self.eval_model(loader)
                     self.test_metrics[name] = metrics
                     probs, ids, labels = self.predict(loader)
+                    probs = self._binary_probs(probs)
                     export_predictions(
                         self._csv_path(name), ids, probs,
                         (probs > threshold).astype(np.int64), labels=labels)
