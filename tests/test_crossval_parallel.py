@@ -1,0 +1,83 @@
+"""Fold-parallel crossval driver: end-to-end on the virtual mesh, artifacts
+compatible with the sequential path + ensemble."""
+import json
+import os
+from glob import glob
+
+import numpy as np
+import pytest
+
+import jax
+
+from meme_challenge_tpu.core.config import TrainConfig, UniterConfig
+from meme_challenge_tpu.core.seeding import set_seed
+from meme_challenge_tpu.data.meme_dataset import BatchLoader, MemeDataset
+from meme_challenge_tpu.data.tokenizer import BertTokenizer
+from meme_challenge_tpu.models.uniter import MemeUniter
+from meme_challenge_tpu.parallel.crossval_parallel import (
+    train_crossval_fold_parallel,
+)
+from meme_challenge_tpu.parallel.mesh import make_mesh
+from meme_challenge_tpu.utils.synthetic import make_synthetic_dataset
+
+
+def test_fold_parallel_crossval_end_to_end(tmp_path):
+    synth = make_synthetic_dataset(str(tmp_path / "d"), n_train=40, n_dev=16,
+                                   n_test=8, img_dim=32, label_signal=3.0)
+    tok = BertTokenizer(synth["vocab"])
+    ucfg = UniterConfig(vocab_size=tok.vocab_size, hidden_size=32,
+                        num_hidden_layers=2, num_attention_heads=2,
+                        intermediate_size=64, img_dim=32,
+                        max_position_embeddings=32)
+    model = MemeUniter(ucfg, n_classes=1)
+    cfg = TrainConfig(
+        data_path=synth["root"], feature_path=synth["feature_dir"],
+        model_path=str(tmp_path / "ck"), model_save_name="fp.ckpt",
+        lr=3e-3, batch_size=8, max_epoch=3, patience=4, warmup_steps=2,
+        gradient_accumulation=1, max_txt_len=12, max_bb=16, seed=43,
+        crossval_dev_size=8)
+
+    kwargs = dict(feature_dir=synth["feature_dir"], tokenizer=tok,
+                  max_txt_len=12, max_bb=16, img_dim=32)
+
+    loader_funcs = {
+        "train": lambda p: BatchLoader(MemeDataset(p, **kwargs), 8,
+                                       shuffle_data=True),
+        "val": lambda p: BatchLoader(MemeDataset(p, **kwargs), 8),
+        "test": lambda p: BatchLoader(
+            MemeDataset(p, return_ids=True, **kwargs), 8),
+    }
+    test_loaders = [loader_funcs["test"](
+        os.path.join(synth["root"], n + ".jsonl"))
+        for n in ["test_seen", "dev_seen"]]
+
+    def init_params_fn(seed, example):
+        return model.init(jax.random.PRNGKey(seed), example,
+                          deterministic=True)["params"]
+
+    os.makedirs(cfg.model_path, exist_ok=True)
+    set_seed(cfg.seed)
+    mesh = make_mesh((2, 4), ("fold", "data"))
+    results = train_crossval_fold_parallel(
+        cfg, model, init_params_fn, loader_funcs, test_loaders,
+        num_folds=2, dev_size=8, use_dev_set=False, mesh=mesh,
+        ea_generations=3)
+
+    assert len(results["val_metrics"]) == 2
+    assert results["mean_scores"]["aucroc"] > 0.6
+    ck = tmp_path / "ck"
+    # sequential-compatible per-fold CSVs for every set
+    for f in range(2):
+        for name in ["dev_00" if f == 0 else "dev_01", "test_seen",
+                     "dev_seen"]:
+            expect = ck / f"fp_fold_{f}_{name}_preds.csv"
+            assert expect.exists(), sorted(os.listdir(ck))
+            header = expect.read_text().splitlines()[0]
+            assert header.startswith("id,proba,label")
+    # ensemble artifacts produced
+    assert "ensemble" in results
+    assert list(ck.glob("*_ensemble.csv"))
+    # per-fold validation CSVs carry distinct fold predictions
+    a = (ck / "fp_fold_0_test_seen_preds.csv").read_text()
+    b = (ck / "fp_fold_1_test_seen_preds.csv").read_text()
+    assert a != b
