@@ -18,6 +18,12 @@ import time
 import numpy as np
 
 import jax
+
+# rbg PRNG: hardware-friendly dropout RNG (+~8% step throughput vs threefry
+# on v5e, measured in BASELINE.md's round-1 sweep). Affects only dropout
+# sampling streams.
+jax.config.update("jax_default_prng_impl", "rbg")
+
 import jax.numpy as jnp
 
 from meme_challenge_tpu.core.config import TrainConfig, UniterConfig

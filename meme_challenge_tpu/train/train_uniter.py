@@ -151,7 +151,12 @@ def main(argv=None):
                         help="BERT vocab.txt (cased)")
     parser.add_argument("--compute_bf16", action="store_true",
                         help="bfloat16 compute dtype (TPU MXU fast path)")
+    parser.add_argument("--slow_rng", action="store_true",
+                        help="keep the threefry PRNG (default: rbg — "
+                             "~8%% faster dropout on TPU)")
     args, _ = parser.parse_known_args(argv)
+    if not args.slow_rng:
+        jax.config.update("jax_default_prng_impl", "rbg")
 
     cfg_dict = {f.name: getattr(args, f.name)
                 for f in dataclasses.fields(TrainConfig)

@@ -238,3 +238,32 @@ def test_masking_equivalent_to_compaction():
     # valid region: T text + 3 image tokens
     np.testing.assert_allclose(
         seq_small[:, : T + 3], seq_large[:, : T + 3], atol=1e-6)
+
+
+def test_uniter_large_config_shapes():
+    """UNITER-large (24L/1024H/16 heads) parameter tree via eval_shape —
+    verifies the large config wires up without materializing 340M params."""
+    import jax
+
+    from meme_challenge_tpu.core.config import UNITER_LARGE
+    from meme_challenge_tpu.models.uniter import MemeUniter
+
+    model = MemeUniter(UNITER_LARGE, n_classes=1)
+    batch = {
+        "input_ids": jnp.zeros((2, 60), jnp.int32),
+        "position_ids": jnp.zeros((2, 60), jnp.int32),
+        "img_feat": jnp.zeros((2, 100, 2048), jnp.float32),
+        "img_pos_feat": jnp.zeros((2, 100, 7), jnp.float32),
+        "txt_mask": jnp.ones((2, 60), jnp.int32),
+        "img_mask": jnp.ones((2, 100), jnp.int32),
+    }
+    shapes = jax.eval_shape(
+        lambda: model.init(jax.random.PRNGKey(0), batch,
+                           deterministic=True))
+    p = shapes["params"]
+    enc = p["uniter"]["encoder"]
+    assert enc["q_kernel"].shape == (24, 1024, 1024)
+    assert enc["ffn_in_kernel"].shape == (24, 1024, 4096)
+    assert p["uniter"]["embeddings"]["word_embeddings"].shape == (28996, 1024)
+    total = sum(int(np.prod(l.shape)) for l in jax.tree.leaves(p))
+    assert 330e6 < total < 380e6  # UNITER-large scale
