@@ -236,7 +236,10 @@ class StackedEncoder(nn.Module):
         p_hid = cfg.hidden_dropout_prob
         use_dropout = (not deterministic) and (p_attn > 0 or p_hid > 0)
         dropout_rng = self.make_rng("dropout") if use_dropout else None
-        use_pallas = cfg.use_pallas_attention and not use_dropout
+        # the fused kernel has no in-kernel RNG yet: usable whenever
+        # *attention* dropout is off (hidden dropout lives outside it)
+        use_pallas = cfg.use_pallas_attention and (
+            deterministic or p_attn == 0.0)
 
         def dropout(x, rng, rate):
             if not use_dropout or rate == 0.0:

@@ -84,22 +84,28 @@ def train_crossval(
 
     val_metrics: List[dict] = []
     folds_to_run = min(num_folds, len(dev_sets))
-    for fold_idx in range(folds_to_run):
-        set_seed(config.seed + fold_idx)
-        logger.info("Starting fold %i of %i", fold_idx, folds_to_run)
-        train_loader = data_loader_funcs["train"](train_sets[fold_idx])
-        val_loader = data_loader_funcs["val"](dev_sets[fold_idx])
-        if use_dev_set and len(test_sets) > fold_idx:
-            fold_tests = original_test_loaders + [
-                data_loader_funcs["test"](test_sets[fold_idx])]
-        else:
-            fold_tests = original_test_loaders
-        fold_config = config.replace(
-            model_save_name=base_name + "_fold_%i." % fold_idx + base_ext)
-        trainer = trainer_factory(fold_config, train_loader, val_loader,
-                                  fold_tests)
-        fold_val_metrics, _ = trainer.train_main()
-        val_metrics.append(dict(fold_val_metrics))
+    try:
+        for fold_idx in range(folds_to_run):
+            set_seed(config.seed + fold_idx)
+            logger.info("Starting fold %i of %i", fold_idx, folds_to_run)
+            train_loader = data_loader_funcs["train"](train_sets[fold_idx])
+            val_loader = data_loader_funcs["val"](dev_sets[fold_idx])
+            if use_dev_set and len(test_sets) > fold_idx:
+                fold_tests = original_test_loaders + [
+                    data_loader_funcs["test"](test_sets[fold_idx])]
+            else:
+                fold_tests = original_test_loaders
+            fold_config = config.replace(
+                model_save_name=base_name + "_fold_%i." % fold_idx + base_ext)
+            trainer = trainer_factory(fold_config, train_loader, val_loader,
+                                      fold_tests)
+            fold_val_metrics, _ = trainer.train_main()
+            val_metrics.append(dict(fold_val_metrics))
+    except KeyboardInterrupt:
+        # graceful stop: completed folds still feed the summary + ensemble
+        # (reference utils/crossval.py:191-196)
+        logger.warning("Keyboard interrupt — stopping cross validation "
+                       "after %i completed folds", len(val_metrics))
 
     results = {"val_metrics": val_metrics}
     if val_metrics:
