@@ -380,3 +380,83 @@ def hf_text_backbone_params(
         out["pooler"] = {"dense": {"kernel": _t(g("pooler.weight")),
                                    "bias": g("pooler.bias")}}
     return out
+
+
+def uniter_trunk_params_to_torch(params: Mapping, prefix: str = "") -> Dict[str, np.ndarray]:
+    """Inverse of :func:`uniter_trunk_params_from_torch`: flax UniterModel
+    tree → reference-layout torch state_dict arrays (for users exporting back
+    to the reference stack; roundtrip-tested)."""
+    out: Dict[str, np.ndarray] = {}
+    emb = params["embeddings"]
+    out[prefix + "embeddings.word_embeddings.weight"] = np.asarray(
+        emb["word_embeddings"])
+    out[prefix + "embeddings.position_embeddings.weight"] = np.asarray(
+        emb["position_embeddings"])
+    out[prefix + "embeddings.token_type_embeddings.weight"] = np.asarray(
+        emb["token_type_embeddings"])
+    out[prefix + "embeddings.LayerNorm.weight"] = np.asarray(emb["ln_scale"])
+    out[prefix + "embeddings.LayerNorm.bias"] = np.asarray(emb["ln_bias"])
+    img = params["img_embeddings"]
+    out[prefix + "img_embeddings.img_linear.weight"] = _t(
+        np.asarray(img["img_linear_kernel"]))
+    out[prefix + "img_embeddings.img_linear.bias"] = np.asarray(
+        img["img_linear_bias"])
+    out[prefix + "img_embeddings.pos_linear.weight"] = _t(
+        np.asarray(img["pos_linear_kernel"]))
+    out[prefix + "img_embeddings.pos_linear.bias"] = np.asarray(
+        img["pos_linear_bias"])
+    out[prefix + "img_embeddings.img_layer_norm.weight"] = np.asarray(
+        img["img_ln_scale"])
+    out[prefix + "img_embeddings.img_layer_norm.bias"] = np.asarray(
+        img["img_ln_bias"])
+    out[prefix + "img_embeddings.pos_layer_norm.weight"] = np.asarray(
+        img["pos_ln_scale"])
+    out[prefix + "img_embeddings.pos_layer_norm.bias"] = np.asarray(
+        img["pos_ln_bias"])
+    out[prefix + "img_embeddings.LayerNorm.weight"] = np.asarray(
+        img["ln_scale"])
+    out[prefix + "img_embeddings.LayerNorm.bias"] = np.asarray(img["ln_bias"])
+    out[prefix + "img_embeddings.mask_embedding.weight"] = np.asarray(
+        img["mask_embedding"])
+
+    enc = params["encoder"]
+    L = enc["q_kernel"].shape[0]
+    per_layer = {
+        "attention.self.query.weight": ("q_kernel", True),
+        "attention.self.query.bias": ("q_bias", False),
+        "attention.self.key.weight": ("k_kernel", True),
+        "attention.self.key.bias": ("k_bias", False),
+        "attention.self.value.weight": ("v_kernel", True),
+        "attention.self.value.bias": ("v_bias", False),
+        "attention.output.dense.weight": ("attn_out_kernel", True),
+        "attention.output.dense.bias": ("attn_out_bias", False),
+        "attention.output.LayerNorm.weight": ("attn_ln_scale", False),
+        "attention.output.LayerNorm.bias": ("attn_ln_bias", False),
+        "intermediate.dense.weight": ("ffn_in_kernel", True),
+        "intermediate.dense.bias": ("ffn_in_bias", False),
+        "output.dense.weight": ("ffn_out_kernel", True),
+        "output.dense.bias": ("ffn_out_bias", False),
+        "output.LayerNorm.weight": ("ffn_ln_scale", False),
+        "output.LayerNorm.bias": ("ffn_ln_bias", False),
+    }
+    for i in range(L):
+        for tname, (ours, transpose) in per_layer.items():
+            mat = np.asarray(enc[ours][i])
+            out[prefix + f"encoder.layer.{i}.{tname}"] = (
+                _t(mat) if transpose else mat)
+    out[prefix + "pooler.dense.weight"] = _t(
+        np.asarray(params["pooler"]["dense"]["kernel"]))
+    out[prefix + "pooler.dense.bias"] = np.asarray(
+        params["pooler"]["dense"]["bias"])
+    return out
+
+
+def meme_uniter_params_to_torch(params: Mapping) -> Dict[str, np.ndarray]:
+    """MemeUniter params → reference fine-tuned-checkpoint layout
+    (``uniter_model.`` trunk + ``linear.`` head, model/meme_uniter.py)."""
+    out = uniter_trunk_params_to_torch(params["uniter"],
+                                       prefix="uniter_model.")
+    if "classifier" in params:
+        out["linear.weight"] = _t(np.asarray(params["classifier"]["kernel"]))
+        out["linear.bias"] = np.asarray(params["classifier"]["bias"])
+    return out

@@ -267,3 +267,31 @@ def test_uniter_large_config_shapes():
     assert p["uniter"]["embeddings"]["word_embeddings"].shape == (28996, 1024)
     total = sum(int(np.prod(l.shape)) for l in jax.tree.leaves(p))
     assert 330e6 < total < 380e6  # UNITER-large scale
+
+
+def test_torch_export_roundtrip():
+    """flax → torch layout → flax roundtrips bit-exactly."""
+    from meme_challenge_tpu.models.convert import (
+        meme_uniter_params_from_torch,
+        meme_uniter_params_to_torch,
+    )
+    from meme_challenge_tpu.models.uniter import MemeUniter
+
+    model = MemeUniter(SMALL, n_classes=1)
+    batch = {
+        "input_ids": jnp.zeros((1, 5), jnp.int32),
+        "position_ids": jnp.zeros((1, 5), jnp.int32),
+        "img_feat": jnp.zeros((1, 4, SMALL.img_dim), jnp.float32),
+        "img_pos_feat": jnp.zeros((1, 4, 7), jnp.float32),
+        "txt_mask": jnp.ones((1, 5), jnp.int32),
+        "img_mask": jnp.ones((1, 4), jnp.int32),
+    }
+    params = model.init(jax.random.PRNGKey(3), batch,
+                        deterministic=True)["params"]
+    sd = meme_uniter_params_to_torch(params)
+    back = meme_uniter_params_from_torch(sd, SMALL)
+    flat_a = jax.tree_util.tree_leaves_with_path(params)
+    flat_b = dict(jax.tree_util.tree_leaves_with_path(back))
+    for path, leaf in flat_a:
+        np.testing.assert_array_equal(
+            np.asarray(leaf), np.asarray(flat_b[path]), err_msg=str(path))
