@@ -419,7 +419,7 @@ def uniter_trunk_params_to_torch(params: Mapping, prefix: str = "") -> Dict[str,
     out[prefix + "img_embeddings.mask_embedding.weight"] = np.asarray(
         img["mask_embedding"])
 
-    enc = params["encoder"]
+    enc = {k: np.asarray(v) for k, v in params["encoder"].items()}
     L = enc["q_kernel"].shape[0]
     per_layer = {
         "attention.self.query.weight": ("q_kernel", True),
@@ -441,7 +441,7 @@ def uniter_trunk_params_to_torch(params: Mapping, prefix: str = "") -> Dict[str,
     }
     for i in range(L):
         for tname, (ours, transpose) in per_layer.items():
-            mat = np.asarray(enc[ours][i])
+            mat = enc[ours][i]
             out[prefix + f"encoder.layer.{i}.{tname}"] = (
                 _t(mat) if transpose else mat)
     out[prefix + "pooler.dense.weight"] = _t(
@@ -460,3 +460,14 @@ def meme_uniter_params_to_torch(params: Mapping) -> Dict[str, np.ndarray]:
         out["linear.weight"] = _t(np.asarray(params["classifier"]["kernel"]))
         out["linear.bias"] = np.asarray(params["classifier"]["bias"])
     return out
+
+
+def save_reference_checkpoint(path: str, params: Mapping) -> None:
+    """torch.save a MemeUniter param tree in the reference's on-disk format:
+    torch tensors wrapped as {'model_state_dict': ...} (utils/save.py:53-64),
+    directly loadable by the reference TrainerUniter.load_model."""
+    import torch
+
+    sd = {k: torch.from_numpy(np.ascontiguousarray(v))
+          for k, v in meme_uniter_params_to_torch(params).items()}
+    torch.save({"model_state_dict": sd}, path)

@@ -295,3 +295,50 @@ def test_torch_export_roundtrip():
     for path, leaf in flat_a:
         np.testing.assert_array_equal(
             np.asarray(leaf), np.asarray(flat_b[path]), err_msg=str(path))
+
+
+def test_torch_export_key_names_match_reference_layout(tmp_path):
+    """Golden key check: the exported state_dict must use the reference's
+    exact names (uniter_model./linear. prefixes, per-layer BERT names) and
+    torch.load back through load_torch_state_dict."""
+    from meme_challenge_tpu.models.convert import (
+        load_torch_state_dict,
+        meme_uniter_params_to_torch,
+        save_reference_checkpoint,
+    )
+    from meme_challenge_tpu.models.uniter import MemeUniter
+
+    model = MemeUniter(SMALL, n_classes=1)
+    batch = {
+        "input_ids": jnp.zeros((1, 5), jnp.int32),
+        "position_ids": jnp.zeros((1, 5), jnp.int32),
+        "img_feat": jnp.zeros((1, 4, SMALL.img_dim), jnp.float32),
+        "img_pos_feat": jnp.zeros((1, 4, 7), jnp.float32),
+        "txt_mask": jnp.ones((1, 5), jnp.int32),
+        "img_mask": jnp.ones((1, 4), jnp.int32),
+    }
+    params = model.init(jax.random.PRNGKey(3), batch,
+                        deterministic=True)["params"]
+    sd = meme_uniter_params_to_torch(params)
+    # golden sentinel keys straight from the reference module layout
+    # (model/meme_uniter.py + model/model.py)
+    for key in [
+        "uniter_model.embeddings.word_embeddings.weight",
+        "uniter_model.img_embeddings.img_linear.weight",
+        "uniter_model.img_embeddings.mask_embedding.weight",
+        "uniter_model.encoder.layer.0.attention.self.query.weight",
+        f"uniter_model.encoder.layer.{SMALL.num_hidden_layers-1}"
+        ".output.LayerNorm.bias",
+        "uniter_model.pooler.dense.weight",
+        "linear.weight", "linear.bias",
+    ]:
+        assert key in sd, key
+    # torch Linear orientation: [out, in]
+    assert sd["uniter_model.img_embeddings.img_linear.weight"].shape == (
+        SMALL.hidden_size, SMALL.img_dim)
+    # full save→load roundtrip through the reference's on-disk format
+    ckpt = str(tmp_path / "export.pt")
+    save_reference_checkpoint(ckpt, params)
+    back = load_torch_state_dict(ckpt)
+    assert set(back) == set(sd)
+    np.testing.assert_array_equal(back["linear.bias"], sd["linear.bias"])
