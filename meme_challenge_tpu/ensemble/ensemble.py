@@ -31,6 +31,7 @@ from meme_challenge_tpu.core.metrics import aucroc, find_optimal_threshold
 from meme_challenge_tpu.ops.device_metrics import (
     ensemble_prediction as _device_mix,
     ensemble_scores,
+    ensemble_scores_logit,
 )
 
 logger = logging.getLogger("meme_challenge_tpu.ensemble")
@@ -144,13 +145,13 @@ def brute_force_finder(predictions: np.ndarray, labels: np.ndarray,
 
 # ------------------------------------------------------------------------ EA
 
-def _tournament(population, fits, k, tournsize=3):
+def _tournament_indices(n, fits, k, tournsize=3):
+    """Tournament selection returning INDICES so known fitnesses carry over
+    (no re-evaluation of survivors)."""
     out = []
     for _ in range(k):
-        aspirants = [random.randrange(len(population))
-                     for _ in range(tournsize)]
-        best = max(aspirants, key=lambda i: fits[i])
-        out.append(list(population[best]))
+        aspirants = [random.randrange(n) for _ in range(tournsize)]
+        out.append(max(aspirants, key=lambda i: fits[i]))
     return out
 
 
@@ -201,10 +202,9 @@ def ea_ensemble_finder(predictions: np.ndarray, labels: np.ndarray,
     labels_dev = jnp.asarray(labels)
 
     def fitness(pop: List[List[float]]) -> np.ndarray:
-        scores = ensemble_scores(preds_dev,
-                                 jnp.asarray(np.asarray(pop, np.float32)),
-                                 labels_dev)
-        return np.asarray(scores)[0]  # logit-space row
+        scores = ensemble_scores_logit(
+            preds_dev, jnp.asarray(np.asarray(pop, np.float32)), labels_dev)
+        return np.asarray(scores)
 
     def new_population():
         return [_init_individual(individual_scores, min_weight, max_weight)
@@ -217,9 +217,10 @@ def ea_ensemble_finder(predictions: np.ndarray, labels: np.ndarray,
     best_score, best_gen = -1.0, 0
 
     for gen in range(num_generations):
-        parents = _tournament(population, fits, k=len(population))
+        parent_idx = _tournament_indices(len(population), fits,
+                                         k=len(population))
         # varAnd: pairwise uniform crossover then mutation
-        offspring = [list(p) for p in parents]
+        offspring = [list(population[i]) for i in parent_idx]
         for i in range(1, len(offspring), 2):
             if random.random() < cxpb:
                 a, b = offspring[i - 1], offspring[i]
@@ -229,14 +230,13 @@ def ea_ensemble_finder(predictions: np.ndarray, labels: np.ndarray,
         for i in range(len(offspring)):
             if random.random() < mutpb:
                 offspring[i] = _mutate(offspring[i], min_weight, max_weight)
-        off_fits = fitness(offspring)
+        off_fits = fitness(offspring)  # the ONE device call per generation
         merged = population + offspring
         merged_fits = np.concatenate([fits, off_fits])
-        sel = _tournament(merged, merged_fits, k=population_size)
-        # recompute selected fitness by identity lookup is wasteful; select
-        # indices instead
-        population = sel
-        fits = fitness(population)
+        sel_idx = _tournament_indices(len(merged), merged_fits,
+                                      k=population_size)
+        population = [list(merged[i]) for i in sel_idx]
+        fits = merged_fits[sel_idx]
         gen_best = int(np.argmax(merged_fits))
         if float(merged_fits[gen_best]) > hof_fit:
             hof_fit = float(merged_fits[gen_best])

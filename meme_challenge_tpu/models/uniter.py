@@ -593,6 +593,13 @@ class UniterForPretraining(nn.Module):
         pooled = self.uniter.pool(seq)
         return self.itm_output(pooled)
 
+    def forward_itm_with_seq(self, batch, deterministic=True):
+        """ITM scores + the sequence output from the SAME encoder pass —
+        lets the driver add the IPOT alignment loss without re-encoding."""
+        seq = self._encode(batch, deterministic=deterministic)
+        pooled = self.uniter.pool(seq)
+        return self.itm_output(pooled), seq
+
     def forward_mrc(self, batch, task, deterministic=True):
         """Per-region CE/KL to 1601 soft labels (reference pretrain.py:205-233)."""
         seq = self._encode(batch, img_masks=batch["img_masks"],

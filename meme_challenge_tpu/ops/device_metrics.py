@@ -81,3 +81,13 @@ def ensemble_scores(predictions: Array, weight_pop: Array, labels: Array,
         return auroc_batched(mix, labels)
 
     return jnp.stack([score(True), score(False)])
+
+
+@jax.jit
+def ensemble_scores_logit(predictions: Array, weight_pop: Array,
+                          labels: Array) -> Array:
+    """Logit-space-only scoring [K] — the EA's fitness (it never evaluates
+    the prob-space mix), at half the brute-force kernel's cost."""
+    mix = jax.vmap(
+        lambda w: ensemble_prediction(predictions, w, True))(weight_pop)
+    return auroc_batched(mix, labels)

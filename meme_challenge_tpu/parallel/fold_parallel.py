@@ -73,8 +73,14 @@ class FoldParallelTrainer:
         self.num_folds = len(train_loaders)
         assert len(val_loaders) == self.num_folds
         lengths = {len(l) for l in train_loaders}
-        assert len(lengths) == 1, (
-            f"fold train loaders must align, got lengths {lengths}")
+        if len(lengths) > 1:
+            # ConfounderSampler makes per-fold epoch lengths differ slightly
+            # (fold splits contain different confounder counts); folds march
+            # in lockstep, so each epoch runs min-length steps and longer
+            # folds drop their tail batches (resampled next epoch).
+            logger.warning(
+                "fold train loaders have unequal lengths %s; each epoch "
+                "runs min(%i) steps per fold", sorted(lengths), min(lengths))
         self.mesh = mesh
 
         c = config
@@ -254,10 +260,23 @@ class FoldParallelTrainer:
                 probs_per_fold[f].append(probs[f][mask])
                 labels_per_fold[f].append(batches[f]["labels"][mask])
         out = []
+        c = self.config
         for f in range(self.num_folds):
             probs = np.concatenate(probs_per_fold[f])
             labels = np.concatenate(labels_per_fold[f])
-            out.append(standard_metrics(probs, labels, add_optimal_acc=True))
+            m = standard_metrics(probs, labels, add_optimal_acc=True)
+            # host-side criterion loss so optimize_for="loss" works
+            eps = 1e-7
+            p = np.clip(probs, eps, 1 - eps)
+            if c.loss_func == "ce" and p.ndim == 2:
+                m["loss"] = float(
+                    -np.log(p[np.arange(len(labels)), labels]).mean())
+            else:
+                y = labels.astype(np.float64)
+                w = c.pos_wt if c.loss_func == "bce_logits" else 1.0
+                m["loss"] = float(-(w * y * np.log(p)
+                                    + (1 - y) * np.log(1 - p)).mean())
+            out.append(m)
         return out
 
     def _early_stopping_update(self, metrics_per_fold):

@@ -95,8 +95,12 @@ def train_crossval(
                     data_loader_funcs["test"](test_sets[fold_idx])]
             else:
                 fold_tests = original_test_loaders
+            # seed + fold_idx flows into the TrainConfig too so JAX-side
+            # init/dropout vary per fold like the host RNG does (reference
+            # utils/crossval.py:174 reseeds everything per fold)
             fold_config = config.replace(
-                model_save_name=base_name + "_fold_%i." % fold_idx + base_ext)
+                model_save_name=base_name + "_fold_%i." % fold_idx + base_ext,
+                seed=config.seed + fold_idx)
             trainer = trainer_factory(fold_config, train_loader, val_loader,
                                       fold_tests)
             fold_val_metrics, _ = trainer.train_main()

@@ -28,7 +28,9 @@ def no_decay_mask(params) -> dict:
     *ln_scale*)."""
     def decide(path, _leaf):
         name = str(path[-1].key) if hasattr(path[-1], "key") else str(path[-1])
-        is_no_decay = ("bias" in name) or ("ln_scale" in name)
+        # "scale" covers flax-native nn.LayerNorm params (text-model heads)
+        is_no_decay = ("bias" in name) or ("ln_scale" in name) \
+            or (name == "scale")
         return not is_no_decay
 
     return jax.tree_util.tree_map_with_path(decide, params)

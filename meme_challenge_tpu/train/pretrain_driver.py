@@ -57,8 +57,10 @@ def _task_loss(model: UniterForPretraining, params, batch, task: str,
                                  rngs=rngs)
         return jnp.sum(loss) / jnp.maximum(jnp.sum(mask), 1.0)
     if task == "itm":
-        scores = model.apply(variables, batch, "itm", deterministic=False,
-                             rngs=rngs)
+        # one encoder pass serves both the ITM CE and the OT alignment term
+        scores, seq = model.apply(
+            variables, batch, deterministic=False, rngs=rngs,
+            method=UniterForPretraining.forward_itm_with_seq)
         targets = batch["targets"]
         logp = jax.nn.log_softmax(scores.astype(jnp.float32), -1)
         nll = -jnp.take_along_axis(logp, targets[:, None], axis=-1)[:, 0]
@@ -68,7 +70,6 @@ def _task_loss(model: UniterForPretraining, params, batch, task: str,
             # OT alignment: positive pairs should have small transport
             # distance, negatives large (margin-free UNITER formulation:
             # +dist for matched, −dist for mismatched)
-            seq = model.apply(variables, batch, method=_encode_seq)
             T = batch["input_ids"].shape[1]
             txt_pad = batch["txt_mask"] == 0
             img_pad = batch["img_mask"] == 0
@@ -79,10 +80,6 @@ def _task_loss(model: UniterForPretraining, params, batch, task: str,
                 jnp.sum(m), 1.0)
         return loss
     raise ValueError(f"unknown task {task}")
-
-
-def _encode_seq(model: UniterForPretraining, batch):
-    return model._encode(batch, deterministic=True)
 
 
 class PretrainTrainer:

@@ -51,7 +51,9 @@ def add_train_config_args(parser: argparse.ArgumentParser) -> None:
     for f in dataclasses.fields(TrainConfig):
         name = "--" + f.name
         if f.type == "bool" or isinstance(f.default, bool):
-            parser.add_argument(name, action="store_true",
+            # BooleanOptionalAction adds --no-<flag>, so True-default fields
+            # (e.g. preload_features) remain switchable off
+            parser.add_argument(name, action=argparse.BooleanOptionalAction,
                                 default=f.default)
         elif f.name in ("mesh_shape", "mesh_axes"):
             continue

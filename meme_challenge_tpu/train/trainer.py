@@ -202,8 +202,15 @@ class Trainer:
             valid = masks.astype(bool)
             self.train_metrics = standard_metrics(
                 probs[valid], labels[valid], add_optimal_acc=True)
-            self.train_loss = float(np.mean(np.concatenate(losses)))
-            self.train_metrics_loss = self.train_loss
+            # weight per-micro losses by their valid-sample counts so the
+            # zero-mask padding of the final accumulation group doesn't
+            # deflate the epoch loss
+            loss_flat = np.concatenate(losses).reshape(-1)
+            count_flat = np.stack(epoch_masks).reshape(
+                len(epoch_masks), -1, epoch_masks[0].shape[-1]
+            ).sum(-1).reshape(-1)
+            self.train_loss = float(np.average(
+                loss_flat, weights=np.maximum(count_flat, 0) + 1e-9))
 
             val_t0 = time.time()
             self.val_metrics, self.val_loss = self.eval_model(self.val_loader)
@@ -305,6 +312,14 @@ class Trainer:
             return probs[:, 1]
         return probs.max(axis=1)
 
+    @staticmethod
+    def _discrete_preds(probs_raw: np.ndarray, threshold: float) -> np.ndarray:
+        """Discrete labels for export: threshold for binary probabilities,
+        argmax for ≥3-class softmax outputs."""
+        if probs_raw.ndim == 2 and probs_raw.shape[1] > 2:
+            return probs_raw.argmax(axis=1).astype(np.int64)
+        return (Trainer._binary_probs(probs_raw) > threshold).astype(np.int64)
+
     def _csv_path(self, dataset_name: str) -> str:
         base = self.config.model_save_name.rsplit(".", 1)[0]
         return os.path.join(self.config.model_path,
@@ -321,39 +336,41 @@ class Trainer:
             params = self.saver.load(self.state.params)
             self.state = self.state._replace(params=params)
 
-            # optimal threshold on validation (train_template.py:304-310)
-            val_metrics, val_loss = self.eval_model(self.val_loader)
-            val_probs, val_labels = self._last_eval
-            val_probs = self._binary_probs(val_probs)
-            val_ids = np.zeros_like(val_labels) - 1
-            if self.val_loader.dataset.return_ids:
-                _, val_ids, _ = self.predict(self.val_loader)
-            threshold = find_optimal_threshold(val_probs, val_labels,
-                                               metric="accuracy")
+            # optimal threshold on validation (train_template.py:304-310);
+            # one inference pass serves both metrics and export
+            val_probs_raw, val_ids, val_labels = self.predict(self.val_loader)
+            val_probs = self._binary_probs(val_probs_raw)
+            if not self.val_loader.dataset.return_ids:
+                val_ids = np.zeros_like(val_labels) - 1
+            binary = bool(np.all((val_labels == 0) | (val_labels == 1)))
+            if binary:
+                threshold = find_optimal_threshold(val_probs, val_labels,
+                                                   metric="accuracy")
+                logger.info("Optimal threshold on validation: %.4f",
+                            threshold)
+            else:
+                # >2 classes: thresholds are meaningless — exports use argmax
+                threshold = 0.5
             export_predictions(
                 self._csv_path(self.val_loader.dataset.name),
-                val_ids, val_probs, (val_probs > 0.5).astype(np.int64),
-                labels=val_labels)
-            logger.info("Optimal threshold on validation: %.4f", threshold)
+                val_ids, val_probs,
+                self._discrete_preds(val_probs_raw, 0.5), labels=val_labels)
 
             for loader in self.test_loaders:
                 name = loader.dataset.name
+                probs_raw, ids, labels = self.predict(loader)
+                probs = self._binary_probs(probs_raw)
+                preds = self._discrete_preds(probs_raw, threshold)
                 if loader.dataset.labels[0] == -1:
                     # unlabeled leaderboard export (train_template.py:157-192)
-                    probs, ids, _ = self.predict(loader)
-                    probs = self._binary_probs(probs)
-                    export_predictions(
-                        self._csv_path(name), ids, probs,
-                        (probs > threshold).astype(np.int64))
+                    export_predictions(self._csv_path(name), ids, probs,
+                                       preds)
                     self.test_metrics[name] = {}
                 else:
-                    metrics, _ = self.eval_model(loader)
-                    self.test_metrics[name] = metrics
-                    probs, ids, labels = self.predict(loader)
-                    probs = self._binary_probs(probs)
-                    export_predictions(
-                        self._csv_path(name), ids, probs,
-                        (probs > threshold).astype(np.int64), labels=labels)
+                    self.test_metrics[name] = standard_metrics(
+                        probs_raw, labels, add_optimal_acc=True)
+                    export_predictions(self._csv_path(name), ids, probs,
+                                       preds, labels=labels)
         else:
             logger.info("No model checkpoints were saved; skipping testing.")
 
