@@ -102,9 +102,9 @@ class MLMBatcher:
         self.dataset = dataset
         self.tokenizer = tokenizer
         self.mask_prob = mask_prob
-        # random-replacement ids skip the special-token block at the vocab
-        # start (the reference passes an explicit vocab_range the same way)
-        self.vocab_range = vocab_range or (5, tokenizer.vocab_size)
+        # random-replacement ids skip the special + [unused##] blocks
+        # (BERT convention; reference passes an explicit vocab_range)
+        self.vocab_range = vocab_range or tokenizer.mlm_vocab_range()
         self.special_ids = (tokenizer.cls_id, tokenizer.sep_id,
                             tokenizer.pad_id)
 

@@ -177,6 +177,19 @@ class BertTokenizer:
     def vocab_size(self) -> int:
         return len(self.vocab)
 
+    def mlm_vocab_range(self):
+        """Random-replacement id range for MLM masking, excluding the
+        special-token and [unused##] blocks at the vocab start (BERT
+        convention; for real bert-base-cased this yields (104, vocab_size),
+        since [unused1..99] sit at ids 1-99 and specials at 100-103)."""
+        special = {self.cls_id, self.sep_id, self.pad_id, self.unk_id,
+                   self.mask_id}
+        max_reserved = max(
+            [i for t, i in self.vocab.items()
+             if i in special or t.startswith("[unused")],
+            default=-1)
+        return (max_reserved + 1, self.vocab_size)
+
     def tokenize(self, text: str) -> List[str]:
         out: List[str] = []
         for word in self.basic.tokenize(text):

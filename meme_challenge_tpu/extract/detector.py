@@ -69,19 +69,28 @@ class DetectorConfig:
     conf_thresh: float = 0.2
     min_size: int = 600
     max_size: int = 1000
+    size_divisibility: int = 64   # pad blobs to multiples -> few XLA shapes
 
 
 def make_anchors(cfg: DetectorConfig, feat_h: int, feat_w: int) -> np.ndarray:
-    """Dense anchors [H*W*A, 4] in image coordinates (x1,y1,x2,y2)."""
+    """Dense anchors [H*W*A, 4] in image coordinates (x1,y1,x2,y2).
+
+    py-faster-rcnn/Caffe convention (the BUA checkpoints' anchors): cell
+    anchors derive from the base box [0, 0, base−1, base−1], i.e. centered
+    at (base−1)/2 = 7.5 for stride 16, then shifted by stride·(x, y)."""
     base = cfg.anchor_base
+    ctr = (base - 1) / 2.0
     anchors = []
-    for scale in cfg.anchor_scales:
-        size = scale * base
-        area = float(size * size)
-        for ratio in cfg.anchor_ratios:
-            w = np.sqrt(area / ratio)
-            h = w * ratio
-            anchors.append([-w / 2, -h / 2, w / 2, h / 2])
+    for ratio in cfg.anchor_ratios:
+        # ratio enumerated first (caffe generate_anchors order), rounded
+        # like the original implementation
+        size = base * base
+        ws = np.round(np.sqrt(size / ratio))
+        hs = np.round(ws * ratio)
+        for scale in cfg.anchor_scales:
+            w, h = ws * scale, hs * scale
+            anchors.append([ctr - 0.5 * (w - 1), ctr - 0.5 * (h - 1),
+                            ctr + 0.5 * (w - 1), ctr + 0.5 * (h - 1)])
     cell = np.asarray(anchors, np.float32)                 # [A, 4]
     ys = (np.arange(feat_h, dtype=np.float32)) * base
     xs = (np.arange(feat_w, dtype=np.float32)) * base
@@ -112,7 +121,11 @@ def decode_boxes(anchors: Array, deltas: Array,
 
 
 class BUARPNHead(nn.Module):
-    """3×3 conv → objectness + deltas (StandardBUARPNHead, 512 channels)."""
+    """3×3 conv → objectness + deltas (StandardBUARPNHead, 512 channels).
+
+    Caffe RPN convention: objectness is **2 channels per anchor**
+    (background, foreground) scored by softmax over the pair — not a single
+    sigmoid channel — matching the BUA checkpoints' ``2A``-channel conv."""
 
     cfg: DetectorConfig
 
@@ -121,7 +134,7 @@ class BUARPNHead(nn.Module):
         A = len(self.cfg.anchor_scales) * len(self.cfg.anchor_ratios)
         t = jax.nn.relu(nn.Conv(self.cfg.rpn_channels, (3, 3), padding=1,
                                 name="conv")(feat))
-        logits = nn.Conv(A, (1, 1), name="objectness")(t)
+        logits = nn.Conv(2 * A, (1, 1), name="objectness")(t)
         deltas = nn.Conv(A * 4, (1, 1), name="anchor_deltas")(t)
         return logits, deltas
 
@@ -182,10 +195,13 @@ class BUADetector(nn.Module):
 # --------------------------------------------------------------------- utils
 
 def get_image_blob(img_bgr: np.ndarray, cfg: DetectorConfig
-                   ) -> Tuple[np.ndarray, float]:
+                   ) -> Tuple[np.ndarray, float, Tuple[int, int]]:
     """Caffe preprocessing: BGR float − pixel mean, shortest side
     ``min_size`` capped at ``max_size`` (reference utils/extract_utils.py:
-    28-57). Returns (blob [1, H, W, 3], scale)."""
+    28-57), then zero-padded up to ``size_divisibility`` multiples so a
+    whole corpus compiles to a handful of XLA shapes instead of one per
+    resolution (detectron2 pads the same way). Returns
+    (blob [1, Hp, Wp, 3], scale, (true_h, true_w))."""
     im = img_bgr.astype(np.float32) - PIXEL_MEAN_BGR
     h, w = im.shape[:2]
     scale = cfg.min_size / min(h, w)
@@ -195,7 +211,12 @@ def get_image_blob(img_bgr: np.ndarray, cfg: DetectorConfig
     # bilinear resize via jax.image on host is fine at this size
     im = np.asarray(jax.image.resize(jnp.asarray(im), (new_h, new_w, 3),
                                      method="bilinear"))
-    return im[None], scale
+    div = max(cfg.size_divisibility, 1)
+    pad_h = -new_h % div
+    pad_w = -new_w % div
+    if pad_h or pad_w:
+        im = np.pad(im, ((0, pad_h), (0, pad_w), (0, 0)))
+    return im[None], scale, (new_h, new_w)
 
 
 class FeatureExtractor:
@@ -217,9 +238,14 @@ class FeatureExtractor:
     def _proposals(self, logits: np.ndarray, deltas: np.ndarray,
                    im_h: int, im_w: int) -> np.ndarray:
         cfg = self.cfg
-        fh, fw, A = logits.shape[1], logits.shape[2], logits.shape[3]
+        fh, fw = logits.shape[1], logits.shape[2]
+        A = logits.shape[3] // 2
         anchors = make_anchors(cfg, fh, fw)
-        scores = jax.nn.sigmoid(jnp.asarray(logits[0])).reshape(-1)
+        # caffe channel layout: [A background | A foreground]; fg prob via
+        # pairwise softmax
+        bg = jnp.asarray(logits[0, :, :, :A])
+        fg = jnp.asarray(logits[0, :, :, A:])
+        scores = np.asarray(jax.nn.sigmoid(fg - bg)).reshape(-1)
         deltas = np.asarray(deltas[0]).reshape(fh, fw, A, 4).reshape(-1, 4)
         boxes = np.array(decode_boxes(jnp.asarray(anchors),
                                       jnp.asarray(deltas)))
@@ -243,8 +269,7 @@ class FeatureExtractor:
         """mode 1 = features (+boxes), 2 = boxes only, 3 = features for
         ``gt_boxes`` (image coordinates)."""
         cfg = self.cfg
-        blob, scale = get_image_blob(img_bgr, cfg)
-        im_h, im_w = blob.shape[1:3]
+        blob, scale, (im_h, im_w) = get_image_blob(img_bgr, cfg)
         feat, logits, deltas = self._backbone_rpn(self.params, blob)
 
         if mode == 3:
@@ -264,8 +289,23 @@ class FeatureExtractor:
 
         boxes_img = proposals / scale                         # back to image
         if mode == 2:
-            sel = self._select_boxes(out["cls_prob"], boxes_img)
-            return {"bbox": boxes_img[sel], "cls_prob": out["cls_prob"][sel]}
+            # save_bbox semantics (reference extract_utils.py:114-144):
+            # second-stage per-class regressed boxes, each proposal reduced
+            # to its argmax-foreground-class box, per-class NMS, then the
+            # top MAX_BOXES by confidence (no threshold/min)
+            cls_prob = out["cls_prob"]
+            R, C = cls_prob.shape
+            all_boxes = np.array(jax.vmap(
+                lambda d: decode_boxes(jnp.asarray(proposals), d),
+                in_axes=1, out_axes=1,
+            )(jnp.asarray(out["bbox_deltas"].reshape(R, C, 4))))
+            all_boxes[..., 0::2] = all_boxes[..., 0::2].clip(0, im_w - 1)
+            all_boxes[..., 1::2] = all_boxes[..., 1::2].clip(0, im_h - 1)
+            top_cls = cls_prob[:, 1:].argmax(axis=1) + 1
+            cls_boxes = all_boxes[np.arange(R), top_cls] / scale
+            max_conf = self._max_conf(cls_prob, cls_boxes)
+            keep = np.argsort(-max_conf, kind="stable")[: cfg.max_boxes]
+            return {"bbox": cls_boxes[keep], "cls_prob": cls_prob[keep]}
         sel = (np.arange(len(boxes_img)) if mode == 3
                else self._select_boxes(out["cls_prob"], boxes_img))
         cls_prob = out["cls_prob"][sel]
@@ -289,23 +329,31 @@ class FeatureExtractor:
             },
         }
 
-    def _select_boxes(self, cls_prob: np.ndarray,
-                      boxes: np.ndarray) -> np.ndarray:
-        """save_roi_features box selection (reference utils/extract_utils.py:
-        59-110): per-class NMS IoU ``test_nms_thresh`` over foreground
-        classes → per-box max surviving confidence → conf threshold within
-        the [min_boxes, max_boxes] budget."""
-        cfg = self.cfg
+    def _max_conf(self, cls_prob: np.ndarray, boxes: np.ndarray) -> np.ndarray:
+        """Per-box max confidence surviving per-class NMS (reference
+        utils/extract_utils.py:68-74)."""
         n = cls_prob.shape[0]
         max_conf = np.zeros(n, np.float32)
         for cls_idx in range(1, cls_prob.shape[1]):
             scores = cls_prob[:, cls_idx]
-            keep = native.nms(boxes, scores, cfg.test_nms_thresh)
+            keep = native.nms(boxes, scores, self.cfg.test_nms_thresh)
             max_conf[keep] = np.maximum(max_conf[keep], scores[keep])
-        order = np.argsort(-max_conf)
-        above = (max_conf > cfg.conf_thresh).sum()
-        num = min(max(int(above), cfg.min_boxes), cfg.max_boxes, n)
-        return order[:num]
+        return max_conf
+
+    def _select_boxes(self, cls_prob: np.ndarray,
+                      boxes: np.ndarray) -> np.ndarray:
+        """save_roi_features box selection (reference utils/extract_utils.py:
+        76-80): boxes with max_conf >= CONF_THRESH in ORIGINAL proposal
+        order; fall back to confidence-sorted top-MIN/-MAX only when the
+        threshold set is out of the [min_boxes, max_boxes] budget."""
+        cfg = self.cfg
+        max_conf = self._max_conf(cls_prob, boxes)
+        keep = np.nonzero(max_conf >= cfg.conf_thresh)[0]
+        if len(keep) < cfg.min_boxes:
+            keep = np.argsort(-max_conf, kind="stable")[: cfg.min_boxes]
+        elif len(keep) > cfg.max_boxes:
+            keep = np.argsort(-max_conf, kind="stable")[: cfg.max_boxes]
+        return keep
 
 
 def init_detector_params(cfg: DetectorConfig, rng,

@@ -58,6 +58,9 @@ class TextModelConfig:
     embedding_size: Optional[int] = None   # albert/electra factorization
     pad_token_id: int = 0
     layer_norm_eps: float = 1e-12
+    hidden_act: str = "gelu"               # albert-v2: "gelu_new" (tanh)
+    hidden_dropout_prob: float = 0.1       # albert-v2 checkpoints: 0.0
+    attention_probs_dropout_prob: float = 0.1
     shared_layers: bool = False            # albert
     has_pooler: bool = True                # electra: False
     dtype: str = "float32"
@@ -71,6 +74,9 @@ class TextModelConfig:
             intermediate_size=self.intermediate_size,
             max_position_embeddings=self.max_position_embeddings,
             type_vocab_size=max(self.type_vocab_size, 1),
+            hidden_act=self.hidden_act,
+            hidden_dropout_prob=self.hidden_dropout_prob,
+            attention_probs_dropout_prob=self.attention_probs_dropout_prob,
             layer_norm_eps=self.layer_norm_eps, dtype=self.dtype)
 
 
@@ -86,7 +92,8 @@ MODEL_DICT: Dict[str, Dict[str, Any]] = {
     "roberta": {
         "config": TextModelConfig(family="roberta", vocab_size=50265,
                                   max_position_embeddings=514,
-                                  type_vocab_size=1, pad_token_id=1),
+                                  type_vocab_size=1, pad_token_id=1,
+                                  layer_norm_eps=1e-5),
         "pretrain": "roberta-base"},
     "roberta_large": {
         "config": TextModelConfig(family="roberta", vocab_size=50265,
@@ -94,7 +101,8 @@ MODEL_DICT: Dict[str, Dict[str, Any]] = {
                                   num_attention_heads=16,
                                   intermediate_size=4096,
                                   max_position_embeddings=514,
-                                  type_vocab_size=1, pad_token_id=1),
+                                  type_vocab_size=1, pad_token_id=1,
+                                  layer_norm_eps=1e-5),
         "pretrain": "roberta-large"},
     "roberta_mnli": {
         "config": TextModelConfig(family="roberta", vocab_size=50265,
@@ -102,21 +110,28 @@ MODEL_DICT: Dict[str, Dict[str, Any]] = {
                                   num_attention_heads=16,
                                   intermediate_size=4096,
                                   max_position_embeddings=514,
-                                  type_vocab_size=1, pad_token_id=1),
+                                  type_vocab_size=1, pad_token_id=1,
+                                  layer_norm_eps=1e-5),
         "pretrain": "roberta-large-mnli"},
     "albert": {
         "config": TextModelConfig(family="albert", hidden_size=2048,
                                   num_hidden_layers=24,
                                   num_attention_heads=16,
                                   intermediate_size=8192,
-                                  embedding_size=128, shared_layers=True),
+                                  embedding_size=128, shared_layers=True,
+                                  hidden_act="gelu_new",
+                                  hidden_dropout_prob=0.0,
+                                  attention_probs_dropout_prob=0.0),
         "pretrain": "albert-xlarge-v2"},
     "albert_large": {
         "config": TextModelConfig(family="albert", hidden_size=4096,
                                   num_hidden_layers=12,
                                   num_attention_heads=64,
                                   intermediate_size=16384,
-                                  embedding_size=128, shared_layers=True),
+                                  embedding_size=128, shared_layers=True,
+                                  hidden_act="gelu_new",
+                                  hidden_dropout_prob=0.0,
+                                  attention_probs_dropout_prob=0.0),
         "pretrain": "albert-xxlarge-v2"},
     "electra": {
         "config": TextModelConfig(family="electra", hidden_size=256,
@@ -162,6 +177,7 @@ class TextBackbone(nn.Module):
                                      name="emb_proj")
         else:
             self.emb_proj = None
+        self.emb_dropout = nn.Dropout(cfg.hidden_dropout_prob)
         self.encoder = StackedEncoder(cfg.encoder_config())
         if cfg.has_pooler:
             self.pooler = Pooler(cfg.encoder_config())
@@ -183,6 +199,7 @@ class TextBackbone(nn.Module):
              + jnp.take(self.token_type_embeddings, token_type_ids, axis=0))
         x = _layer_norm(x, self.emb_ln_scale, self.emb_ln_bias,
                         cfg.layer_norm_eps, jnp.dtype(cfg.dtype))
+        x = self.emb_dropout(x, deterministic=deterministic)
         if self.emb_proj is not None:
             x = self.emb_proj(x)
         bias = ((1.0 - txt_mask.astype(jnp.float32)) * -10000.0)[

@@ -47,8 +47,15 @@ def erf_gelu(x: Array) -> Array:
     return x * 0.5 * (1.0 + jax.lax.erf(x / math.sqrt(2.0).__float__()))
 
 
+def gelu_new(x: Array) -> Array:
+    """tanh-approximate GELU (HF 'gelu_new'; ALBERT-v2 checkpoints)."""
+    return 0.5 * x * (1.0 + jnp.tanh(
+        math.sqrt(2.0 / math.pi) * (x + 0.044715 * jnp.power(x, 3.0))))
+
+
 ACT2FN = {
     "gelu": erf_gelu,
+    "gelu_new": gelu_new,
     "relu": jax.nn.relu,
     "swish": jax.nn.swish,
 }

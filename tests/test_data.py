@@ -213,3 +213,19 @@ def test_crossval_splits_with_dev_confounders(tmp_path):
         assert ts_ids <= dev_ids
         assert (tr_ids | ts_ids) >= dev_ids
         assert not (tr_ids & ts_ids)
+
+
+def test_mlm_vocab_range_excludes_unused_and_specials(tmp_path):
+    """Real bert-base-cased layout: [PAD]=0, [unused1..N], specials at the
+    end of the reserved block — the MLM replacement range must start after
+    all of them."""
+    from meme_challenge_tpu.data.tokenizer import BertTokenizer, write_vocab
+
+    tokens = (["[PAD]"] + [f"[unused{i}]" for i in range(1, 100)]
+              + ["[UNK]", "[CLS]", "[SEP]", "[MASK]"]
+              + ["the", "cat", "##s"])
+    path = str(tmp_path / "vocab.txt")
+    write_vocab(path, tokens)
+    tok = BertTokenizer(path)
+    lo, hi = tok.mlm_vocab_range()
+    assert lo == 104 and hi == len(tokens)

@@ -34,7 +34,7 @@ def test_backbone_stride_16(det_params):
     feat, logits, deltas = model.apply(
         {"params": det_params}, img, method=BUADetector.backbone_rpn)
     assert feat.shape == (1, 4, 6, 1024)      # stride 16
-    assert logits.shape == (1, 4, 6, 12)      # 4 scales × 3 ratios
+    assert logits.shape == (1, 4, 6, 24)      # 2×(4 scales × 3 ratios)
     assert deltas.shape == (1, 4, 6, 48)
 
 
@@ -42,11 +42,13 @@ def test_anchor_layout():
     cfg = SMALL_CFG
     anchors = make_anchors(cfg, 2, 3)
     assert anchors.shape == (2 * 3 * 12, 4)
-    # anchor centered at the cell, area ≈ (scale·16)², aspect = ratio
-    a0 = anchors[0]
-    w, h = a0[2] - a0[0], a0[3] - a0[1]
-    assert w * h == pytest.approx((4 * 16) ** 2, rel=1e-5)
-    assert h / w == pytest.approx(0.5, rel=1e-5)
+    # py-faster-rcnn generate_anchors oracle for base 16, ratio .5, scale 4:
+    # ws=round(sqrt(256/0.5))=23, hs=round(23*0.5)=12 ->
+    # [7.5-45.5, 7.5-23.5, 7.5+45.5, 7.5+23.5]
+    np.testing.assert_allclose(anchors[0], [-38.0, -16.0, 53.0, 31.0])
+    # second cell shifts by the stride
+    np.testing.assert_allclose(anchors[12], [-38.0 + 16, -16.0, 53.0 + 16,
+                                             31.0])
 
 
 def test_decode_boxes_oracle(rng):
@@ -66,11 +68,15 @@ def test_decode_boxes_oracle(rng):
 
 def test_image_blob_resize():
     img = np.zeros((120, 240, 3), np.uint8)
-    blob, scale = get_image_blob(img, SMALL_CFG)
+    blob, scale, (th, tw) = get_image_blob(img, SMALL_CFG)
     # shortest side would be 64 → long side 128 > 96 cap → scale by long side
     assert blob.shape[0] == 1
-    assert max(blob.shape[1:3]) <= SMALL_CFG.max_size
     assert scale == pytest.approx(96 / 240)
+    assert (th, tw) == (48, 96)
+    # padded to size_divisibility multiples; true extent reported separately
+    div = SMALL_CFG.size_divisibility
+    assert blob.shape[1] % div == 0 and blob.shape[2] % div == 0
+    assert blob.shape[1] >= th and blob.shape[2] >= tw
     # mean-subtracted: zero image becomes negative means
     assert blob.min() < -100
 
@@ -169,9 +175,9 @@ def test_detector_converter_shapes(det_params):
         512, 1024, 3, 3).astype(np.float32)
     sd["proposal_generator.rpn_head.conv.bias"] = np.zeros(512, np.float32)
     sd["proposal_generator.rpn_head.objectness_logits.weight"] = rng.randn(
-        12, 512, 1, 1).astype(np.float32)
+        24, 512, 1, 1).astype(np.float32)
     sd["proposal_generator.rpn_head.objectness_logits.bias"] = np.zeros(
-        12, np.float32)
+        24, np.float32)
     sd["proposal_generator.rpn_head.anchor_deltas.weight"] = rng.randn(
         48, 512, 1, 1).astype(np.float32)
     sd["proposal_generator.rpn_head.anchor_deltas.bias"] = np.zeros(

@@ -167,3 +167,21 @@ def test_classification_head_shapes(rng):
     out2 = model.apply({"params": params}, batch, deterministic=False,
                        rngs={"dropout": jax.random.PRNGKey(1)})
     assert out2.shape == (4, 1)
+
+
+def test_gelu_new_matches_torch_tanh_approx():
+    import torch.nn.functional as F
+
+    from meme_challenge_tpu.models.uniter import gelu_new
+
+    x = np.linspace(-4, 4, 101, dtype=np.float32)
+    ours = np.asarray(gelu_new(jnp.array(x)))
+    theirs = F.gelu(torch.from_numpy(x), approximate="tanh").numpy()
+    np.testing.assert_allclose(ours, theirs, atol=2e-6)
+
+
+def test_albert_registry_uses_gelu_new_and_no_dropout():
+    cfg = MODEL_DICT["albert"]["config"]
+    assert cfg.hidden_act == "gelu_new"
+    assert cfg.hidden_dropout_prob == 0.0
+    assert MODEL_DICT["roberta"]["config"].layer_norm_eps == 1e-5
