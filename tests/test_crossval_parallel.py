@@ -81,3 +81,52 @@ def test_fold_parallel_crossval_end_to_end(tmp_path):
     a = (ck / "fp_fold_0_test_seen_preds.csv").read_text()
     b = (ck / "fp_fold_1_test_seen_preds.csv").read_text()
     assert a != b
+
+
+def test_fold_parallel_crossval_use_dev_set(tmp_path):
+    """use_dev_set mode: per-fold dev_seen_XX test splits are exported with
+    per-fold thresholds and feed the ensemble."""
+    synth = make_synthetic_dataset(str(tmp_path / "d"), n_train=40, n_dev=16,
+                                   n_test=8, img_dim=32, label_signal=3.0)
+    tok = BertTokenizer(synth["vocab"])
+    ucfg = UniterConfig(vocab_size=tok.vocab_size, hidden_size=32,
+                        num_hidden_layers=1, num_attention_heads=2,
+                        intermediate_size=64, img_dim=32,
+                        max_position_embeddings=32)
+    model = MemeUniter(ucfg, n_classes=1)
+    cfg = TrainConfig(
+        data_path=synth["root"], feature_path=synth["feature_dir"],
+        model_path=str(tmp_path / "ck"), model_save_name="fpd.ckpt",
+        lr=3e-3, batch_size=8, max_epoch=2, patience=4, warmup_steps=2,
+        gradient_accumulation=1, max_txt_len=12, max_bb=16, seed=43,
+        crossval_dev_size=8, crossval_use_dev=True)
+
+    kwargs = dict(feature_dir=synth["feature_dir"], tokenizer=tok,
+                  max_txt_len=12, max_bb=16, img_dim=32)
+    loader_funcs = {
+        "train": lambda p: BatchLoader(MemeDataset(p, **kwargs), 8,
+                                       shuffle_data=True),
+        "val": lambda p: BatchLoader(MemeDataset(p, **kwargs), 8),
+        "test": lambda p: BatchLoader(
+            MemeDataset(p, return_ids=True, **kwargs), 8),
+    }
+    test_loaders = [loader_funcs["test"](
+        os.path.join(synth["root"], "dev_seen.jsonl"))]
+
+    def init_params_fn(seed, example):
+        return model.init(jax.random.PRNGKey(seed), example,
+                          deterministic=True)["params"]
+
+    os.makedirs(cfg.model_path, exist_ok=True)
+    set_seed(cfg.seed)
+    results = train_crossval_fold_parallel(
+        cfg, model, init_params_fn, loader_funcs, test_loaders,
+        num_folds=2, dev_size=8, use_dev_set=True, mesh=None,
+        ea_generations=2)
+    ck = tmp_path / "ck"
+    # each fold exported ITS OWN dev_seen_XX split with gt column
+    for f in range(2):
+        path = ck / f"fpd_fold_{f}_dev_seen_0{f}_preds.csv"
+        assert path.exists(), sorted(os.listdir(ck))
+        assert path.read_text().splitlines()[0] == "id,proba,label,gt"
+    assert "ensemble" in results
