@@ -171,3 +171,82 @@ def roi_losses(
         * attr_w) / jnp.maximum(jnp.sum(attr_w), 1.0)
     return {"roi_cls": cls_loss, "roi_box": box_loss,
             "roi_attr": attr_loss}
+
+
+def make_detector_train_step(model, cfg, tx, num_proposals: int = 64,
+                             jitter: float = 0.1):
+    """Full jittable detector train step: backbone+RPN losses + ROI-head
+    losses + optimizer update.
+
+    TPU-native simplifications (documented):
+    - ROI-head training proposals are the (padded, static-count) ground-truth
+      boxes plus jittered copies, instead of NMS-filtered RPN proposals — the
+      standard static-shape approximation (detectron2 also appends gt to the
+      sampled proposals); the RPN still trains on its own losses.
+    - ROI pooling inside the step uses the jittable roi_align
+      (extract/ops.py) rather than the host ROIPool op.
+
+    batch: {"images" [1,H,W,3], "gt_boxes" [G,4], "gt_classes" [G],
+            "gt_attrs" [G] (−1 = none), "gt_mask" [G] bool}
+    Returns train_step(state, batch, rng) → (state, loss_dict).
+    """
+    import optax
+
+    from meme_challenge_tpu.extract.detector import (
+        BUADetector,
+        decode_boxes,
+        make_anchors,
+    )
+    from meme_challenge_tpu.extract.ops import roi_align_jax
+    from meme_challenge_tpu.train.steps import TrainState
+
+    A = len(cfg.anchor_scales) * len(cfg.anchor_ratios)
+
+    def loss_fn(params, batch, rng):
+        images = batch["images"]
+        feat, logits, deltas = model.apply(
+            {"params": params}, images, method=BUADetector.backbone_rpn)
+        fh, fw = feat.shape[1], feat.shape[2]
+        anchors = jnp.asarray(make_anchors(cfg, fh, fw))
+        fg_logit = (logits[0, :, :, A:] - logits[0, :, :, :A]).reshape(-1)
+        flat_deltas = deltas[0].reshape(fh, fw, A, 4).reshape(-1, 4)
+        r_rpn, r_roi, r_jit = jax.random.split(rng, 3)
+        losses = rpn_losses(anchors, fg_logit, flat_deltas,
+                            batch["gt_boxes"], batch["gt_mask"], r_rpn)
+
+        # static proposal set: gt ⊕ jittered gt, tiled to num_proposals
+        G = batch["gt_boxes"].shape[0]
+        reps = -(-num_proposals // G)
+        base = jnp.tile(batch["gt_boxes"], (reps, 1))[:num_proposals]
+        wh = jnp.tile(
+            jnp.stack([batch["gt_boxes"][:, 2] - batch["gt_boxes"][:, 0],
+                       batch["gt_boxes"][:, 3] - batch["gt_boxes"][:, 1]],
+                      axis=1), (reps, 1))[:num_proposals]
+        noise = jax.random.uniform(r_jit, (num_proposals, 4),
+                                   minval=-jitter, maxval=jitter)
+        proposals = base + noise * jnp.concatenate([wh, wh], axis=1)
+        pooled = roi_align_jax(
+            jnp.transpose(feat[0], (2, 0, 1)), proposals,
+            1.0 / cfg.anchor_base,
+            (cfg.pooler_resolution, cfg.pooler_resolution))
+        pooled = jnp.transpose(pooled, (0, 2, 3, 1))
+        out = model.apply({"params": params}, pooled,
+                          method=BUADetector.roi_forward)
+        attr_logits_raw = jnp.log(jnp.clip(out["attr_prob"], 1e-9, 1.0))
+        losses.update(roi_losses(
+            proposals, jnp.log(jnp.clip(out["cls_prob"], 1e-9, 1.0)),
+            out["bbox_deltas"], attr_logits_raw,
+            batch["gt_boxes"], batch["gt_classes"], batch["gt_attrs"],
+            batch["gt_mask"], r_roi))
+        total = sum(losses.values())
+        return total, losses
+
+    grad_fn = jax.value_and_grad(loss_fn, has_aux=True)
+
+    def train_step(state: TrainState, batch, rng):
+        (_, losses), grads = grad_fn(state.params, batch, rng)
+        updates, new_opt = tx.update(grads, state.opt_state, state.params)
+        new_params = optax.apply_updates(state.params, updates)
+        return TrainState(new_params, new_opt, state.step + 1), losses
+
+    return jax.jit(train_step, donate_argnums=(0,))
