@@ -111,3 +111,26 @@ def test_multiclass_dispatch(rng):
         fn = float(np.sum((preds != c) & (preds != labels)))
         recalls.append(tp / max(tp + fn, 1e-4))
     assert m["recall"] == pytest.approx(sum(recalls) / len(recalls), abs=1e-9)
+
+
+def test_device_auroc_matches_sklearn(rng):
+    """ops/device_metrics.auroc (the vmapped ensemble objective) is exactly
+    sklearn's trapezoidal AUROC, ties included."""
+    import jax.numpy as jnp
+
+    from meme_challenge_tpu.ops.device_metrics import auroc as dev_auroc
+    from meme_challenge_tpu.ops.device_metrics import auroc_batched
+
+    probs = rng.randint(0, 7, size=300) / 7.0  # heavy ties
+    labels = rng.randint(0, 2, size=300)
+    labels[0], labels[1] = 0, 1
+    expect = roc_auc_score(labels, probs)
+    got = float(dev_auroc(jnp.asarray(probs, jnp.float32),
+                          jnp.asarray(labels)))
+    assert got == pytest.approx(expect, abs=1e-6)
+    # batched path agrees with itself and sklearn
+    pop = np.stack([probs, probs[::-1].copy(), 1 - probs])
+    batch = np.asarray(auroc_batched(jnp.asarray(pop, jnp.float32),
+                                     jnp.asarray(labels)))
+    for row, p in zip(batch, pop):
+        assert row == pytest.approx(roc_auc_score(labels, p), abs=1e-6)
