@@ -130,3 +130,42 @@ def test_fold_parallel_crossval_use_dev_set(tmp_path):
         assert path.exists(), sorted(os.listdir(ck))
         assert path.read_text().splitlines()[0] == "id,proba,label,gt"
     assert "ensemble" in results
+
+
+def test_eight_folds_one_per_device(tmp_path):
+    """Production mesh shape: 8 folds × 8 devices (fold axis only), one fold
+    per device — the 15-folds-on-a-pod usage pattern at test scale."""
+    from meme_challenge_tpu.parallel.fold_parallel import FoldParallelTrainer
+
+    synth = make_synthetic_dataset(str(tmp_path / "d"), n_train=32, n_dev=16,
+                                   img_dim=16, label_signal=3.0)
+    tok = BertTokenizer(synth["vocab"])
+    ucfg = UniterConfig(vocab_size=tok.vocab_size, hidden_size=16,
+                        num_hidden_layers=1, num_attention_heads=2,
+                        intermediate_size=32, img_dim=16,
+                        max_position_embeddings=32)
+    model = MemeUniter(ucfg, n_classes=1)
+    kwargs = dict(feature_dir=synth["feature_dir"], tokenizer=tok,
+                  max_txt_len=8, max_bb=8, img_dim=16)
+    n_folds = 8
+    train_loaders = [BatchLoader(MemeDataset(synth["train"], **kwargs), 8,
+                                 shuffle_data=True) for _ in range(n_folds)]
+    val_loaders = [BatchLoader(MemeDataset(synth["dev_seen"], **kwargs), 8)
+                   for _ in range(n_folds)]
+    example = next(iter(val_loaders[0]))
+    example.pop("ids")
+    keys = jax.random.split(jax.random.PRNGKey(0), n_folds)
+    params = jax.vmap(
+        lambda k: model.init(k, example, deterministic=True)["params"])(keys)
+    cfg = TrainConfig(model_path=str(tmp_path), lr=3e-3, batch_size=8,
+                      max_epoch=2, patience=4, gradient_accumulation=1,
+                      warmup_steps=2, seed=0)
+    mesh = make_mesh((8,), ("fold",))
+    trainer = FoldParallelTrainer(cfg, model, params, train_loaders,
+                                  val_loaders, mesh=mesh)
+    metrics = trainer.train_main()
+    assert len(metrics) == n_folds
+    assert all(m for m in metrics)
+    # each device owns exactly one fold slice of the params
+    leaf = jax.tree.leaves(trainer.state.params)[0]
+    assert len(leaf.sharding.device_set) == 8
