@@ -23,7 +23,7 @@ import numpy as np
 from meme_challenge_tpu.core.artifacts import export_predictions
 from meme_challenge_tpu.core.config import TrainConfig
 from meme_challenge_tpu.core.metrics import find_optimal_threshold
-from meme_challenge_tpu.core.seeding import set_seed
+from meme_challenge_tpu.core.seeding import fold_seed, set_seed
 from meme_challenge_tpu.data.crossval_splits import (
     crossval_dir,
     generate_crossval_splits,
@@ -69,14 +69,14 @@ def train_crossval_fold_parallel(
     train_loaders, val_loaders, params_per_fold = [], [], []
     example = None
     for fold_idx in range(num_folds):
-        set_seed(config.seed + fold_idx)
+        set_seed(fold_seed(config.seed, fold_idx))
         train_loaders.append(data_loader_funcs["train"](train_sets[fold_idx]))
         val_loaders.append(data_loader_funcs["val"](dev_sets[fold_idx]))
         if example is None:
             example = dict(next(iter(val_loaders[0])))
             example.pop("ids", None)
-        params_per_fold.append(init_params_fn(config.seed + fold_idx,
-                                              example))
+        params_per_fold.append(init_params_fn(
+            fold_seed(config.seed, fold_idx), example))
     params_stacked = jax.tree.map(
         lambda *leaves: np.stack([np.asarray(l) for l in leaves]),
         *params_per_fold)

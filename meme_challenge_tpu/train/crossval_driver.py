@@ -21,7 +21,7 @@ from statistics import mean
 from typing import Callable, Dict, List, Optional
 
 from meme_challenge_tpu.core.config import TrainConfig
-from meme_challenge_tpu.core.seeding import set_seed
+from meme_challenge_tpu.core.seeding import fold_seed, set_seed
 from meme_challenge_tpu.data.crossval_splits import (
     crossval_dir,
     generate_crossval_splits,
@@ -86,7 +86,7 @@ def train_crossval(
     folds_to_run = min(num_folds, len(dev_sets))
     try:
         for fold_idx in range(folds_to_run):
-            set_seed(config.seed + fold_idx)
+            set_seed(fold_seed(config.seed, fold_idx))
             logger.info("Starting fold %i of %i", fold_idx, folds_to_run)
             train_loader = data_loader_funcs["train"](train_sets[fold_idx])
             val_loader = data_loader_funcs["val"](dev_sets[fold_idx])
@@ -100,7 +100,7 @@ def train_crossval(
             # utils/crossval.py:174 reseeds everything per fold)
             fold_config = config.replace(
                 model_save_name=base_name + "_fold_%i." % fold_idx + base_ext,
-                seed=config.seed + fold_idx)
+                seed=fold_seed(config.seed, fold_idx))
             trainer = trainer_factory(fold_config, train_loader, val_loader,
                                       fold_tests)
             fold_val_metrics, _ = trainer.train_main()

@@ -54,6 +54,10 @@ def build_text_entry(config: TrainConfig, model_name: str, vocab_file: str,
     model = build_text_model(model_name, num_classes=config.n_classes)
 
     def make_loader(path, sampler=False, return_ids=False):
+        if sampler and config.debug:
+            # --debug trains on dev_seen for fast iteration
+            # (reference text_based/train_pure_text.py:132-133)
+            path = os.path.join(config.data_path, "dev_seen.jsonl")
         ds = MemeDataset(path, tokenizer=tokenizer, text_only=True,
                          max_txt_len=max_txt_len, return_ids=return_ids)
         kw = {}
