@@ -342,3 +342,26 @@ def test_torch_export_key_names_match_reference_layout(tmp_path):
     back = load_torch_state_dict(ckpt)
     assert set(back) == set(sd)
     np.testing.assert_array_equal(back["linear.bias"], sd["linear.bias"])
+
+
+def test_image_only_branch():
+    """UniterModel's image-only branch (reference model/model.py:348-351):
+    input_ids=None encodes regions alone with type-1 embeddings."""
+    model = UniterModel(SMALL)
+    rng_np = np.random.RandomState(11)
+    B, R = 2, 5
+    img_feat = jnp.asarray(rng_np.randn(B, R, SMALL.img_dim), jnp.float32)
+    img_pos = jnp.asarray(rng_np.rand(B, R, 7), jnp.float32)
+    img_mask = jnp.ones((B, R), jnp.int32)
+    params = model.init(
+        jax.random.PRNGKey(0), input_ids=None, position_ids=None,
+        img_feat=img_feat, img_pos_feat=img_pos, img_mask=img_mask,
+        deterministic=True)["params"]
+    seq, joint_mask = model.apply(
+        {"params": params}, input_ids=None, position_ids=None,
+        img_feat=img_feat, img_pos_feat=img_pos, img_mask=img_mask,
+        deterministic=True)
+    assert seq.shape == (B, R, SMALL.hidden_size)
+    np.testing.assert_array_equal(np.asarray(joint_mask),
+                                  np.asarray(img_mask))
+    assert np.isfinite(np.asarray(seq)).all()

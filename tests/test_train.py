@@ -215,3 +215,20 @@ def test_resume_roundtrip(synth, tmp_path):
     for a, b in zip(jax.tree.leaves(restored.params),
                     jax.tree.leaves(trainer.state.params)):
         np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+def test_bce_loss_mode_trains(synth, tmp_path):
+    """loss_func='bce' (reference's sigmoid-then-BCE mode) end to end."""
+    from meme_challenge_tpu.core.seeding import set_seed
+    from meme_challenge_tpu.train.train_uniter import build_entry
+
+    ucfg, tcfg = _tiny_configs(synth, tmp_path, max_epoch=1,
+                               model_save_name="bce.ckpt")
+    tcfg = tcfg.replace(loss_func="bce")
+    set_seed(tcfg.seed)
+    loader_funcs, _, trainer_factory = build_entry(tcfg, ucfg, synth["vocab"])
+    trainer = trainer_factory(tcfg, loader_funcs["train"](synth["train"]),
+                              loader_funcs["val"](synth["dev_seen"]), [])
+    best_val, _ = trainer.train_main()
+    assert "aucroc" in best_val and np.isfinite(best_val["aucroc"])
+    assert (tmp_path / "ckpt" / "bce_metrics.json").exists()
