@@ -1,10 +1,14 @@
-"""Benchmark: UNITER-base fine-tune throughput (memes/sec/chip).
+"""Benchmarks for the BASELINE.json matrix. Prints ONE JSON line.
 
-The BASELINE.json headline config — UNITER-base fine-tune with the reference
-recipe shapes (batch 16, grad-accum 2, max_txt_len 60, max_bb 100, pos_wt
-1.8, warmup_cosine, Adam) — measured as full training steps
-(fwd+bwd+optimizer, bf16 compute / fp32 params) on the available
-accelerator. Prints ONE JSON line.
+Headline: UNITER-base fine-tune throughput (memes/sec/chip) under the
+reference recipe shapes (batch 16, grad-accum 2, max_txt_len 60, max_bb 100,
+pos_wt 1.8, warmup_cosine, Adam) as full training steps (fwd+bwd+optimizer,
+bf16 compute / fp32 params) on the available accelerator.
+
+``extra_metrics`` fills the remaining measurable rows of BASELINE.md:
+inference p50 latency, text-only BERT baseline step, MLM/ITM+IPOT/MRFR
+pretraining steps, UNITER-large fine-tune, and detector extraction s/img —
+each guarded by a timeout so one flaky remote compile can't sink the run.
 
 ``vs_baseline`` compares against the reference-side anchor recorded in
 BASELINE.md (torch fp32 on the reference's single-GPU stack — an estimate
@@ -13,6 +17,7 @@ until a CUDA box is available; see BASELINE.md "measured" table).
 from __future__ import annotations
 
 import json
+import signal
 import time
 
 import numpy as np
@@ -41,89 +46,307 @@ ACCUM = 2
 T, R = 60, 100
 WARMUP_STEPS = 3
 TIMED_STEPS = 30
+EXTRA_TIMEOUT_S = 420  # per extra metric; remote compiles can stall
 
 
-def build():
-    ucfg = UniterConfig(dtype="bfloat16")
-    tcfg = TrainConfig(lr=3e-5, batch_size=BATCH, gradient_accumulation=ACCUM,
-                       pos_wt=1.8, scheduler="warmup_cosine", warmup_steps=500)
-    model = MemeUniter(ucfg, n_classes=1)
-    rng = np.random.RandomState(0)
-    txt_len = rng.randint(8, T + 1, size=BATCH)
-    img_len = rng.randint(10, R + 1, size=BATCH)
+class _Timeout(Exception):
+    pass
+
+
+def _alarm(*_):
+    raise _Timeout()
+
+
+def _with_timeout(fn, seconds=EXTRA_TIMEOUT_S):
+    signal.signal(signal.SIGALRM, _alarm)
+    signal.alarm(seconds)
+    try:
+        return fn()
+    finally:
+        signal.alarm(0)
+
+
+def _finetune_batch(rng, ucfg, batch, accum):
+    txt_len = rng.randint(8, T + 1, size=batch)
+    img_len = rng.randint(10, R + 1, size=batch)
 
     def micro():
         return {
             "input_ids": jnp.asarray(
-                rng.randint(0, ucfg.vocab_size, (BATCH, T)), jnp.int32),
+                rng.randint(0, ucfg.vocab_size, (batch, T)), jnp.int32),
             "position_ids": jnp.tile(jnp.arange(T, dtype=jnp.int32),
-                                     (BATCH, 1)),
-            "img_feat": jnp.asarray(rng.randn(BATCH, R, ucfg.img_dim),
+                                     (batch, 1)),
+            "img_feat": jnp.asarray(rng.randn(batch, R, ucfg.img_dim),
                                     jnp.float32),
-            "img_pos_feat": jnp.asarray(rng.rand(BATCH, R, 7), jnp.float32),
+            "img_pos_feat": jnp.asarray(rng.rand(batch, R, 7), jnp.float32),
             "txt_mask": jnp.asarray(
                 np.arange(T)[None] < txt_len[:, None], jnp.int32),
             "img_mask": jnp.asarray(
                 np.arange(R)[None] < img_len[:, None], jnp.int32),
-            "labels": jnp.asarray(rng.randint(0, 2, BATCH), jnp.int32),
-            "sample_mask": jnp.ones(BATCH, jnp.int32),
+            "labels": jnp.asarray(rng.randint(0, 2, batch), jnp.int32),
+            "sample_mask": jnp.ones(batch, jnp.int32),
         }
 
-    device_batch = {k: jnp.stack([micro()[k] for _ in range(ACCUM)])
-                    for k in micro()}
+    return {k: jnp.stack([micro()[k] for _ in range(accum)])
+            for k in micro()}
 
-    params = model.init(jax.random.PRNGKey(0),
-                        jax.tree.map(lambda x: x[0], device_batch),
-                        deterministic=True)["params"]
-    loss_fn = make_loss_fn(tcfg.loss_func, tcfg.pos_wt)
+
+def _make_tx(tcfg, params):
     schedule = make_schedule(tcfg.scheduler, warmup_steps=tcfg.warmup_steps,
                              total_steps=10000,
                              lr_decay_step=tcfg.lr_decay_step,
                              lr_decay_factor=tcfg.lr_decay_factor)
-    tx = make_optimizer(tcfg.optimizer, tcfg.lr, schedule,
-                        beta1=tcfg.beta1, beta2=tcfg.beta2,
-                        weight_decay=tcfg.weight_decay,
-                        max_grad_norm=tcfg.max_grad_norm,
-                        params_example=params)
+    return make_optimizer(tcfg.optimizer, tcfg.lr, schedule,
+                          beta1=tcfg.beta1, beta2=tcfg.beta2,
+                          weight_decay=tcfg.weight_decay,
+                          max_grad_norm=tcfg.max_grad_norm,
+                          params_example=params,
+                          mu_dtype=tcfg.adam_mu_dtype)
 
-    def model_apply_train(params_, batch, rng_):
-        return model.apply({"params": params_}, batch, deterministic=False,
+
+def _time_steps(step, state, batch, steps=TIMED_STEPS, warmup=WARMUP_STEPS):
+    root = jax.random.PRNGKey(0)
+    for i in range(warmup):
+        state, out = step(state, batch, jax.random.fold_in(root, i))
+        # NOTE: sync via a real fetch — on the axon relay platform
+        # jax.block_until_ready returns without waiting; np.asarray is the
+        # only reliable barrier.
+        np.asarray(out["loss"] if isinstance(out, dict) else out)
+    t0 = time.perf_counter()
+    for i in range(steps):
+        state, out = step(state, batch, jax.random.fold_in(root, 100 + i))
+    np.asarray(out["loss"] if isinstance(out, dict) else out)
+    return (time.perf_counter() - t0) / steps
+
+
+def _build_finetune(ucfg, batch=BATCH, accum=ACCUM):
+    tcfg = TrainConfig(lr=3e-5, batch_size=batch, gradient_accumulation=accum,
+                       pos_wt=1.8, scheduler="warmup_cosine", warmup_steps=500)
+    model = MemeUniter(ucfg, n_classes=1)
+    rng = np.random.RandomState(0)
+    device_batch = _finetune_batch(rng, ucfg, batch, accum)
+    params = model.init(jax.random.PRNGKey(0),
+                        jax.tree.map(lambda x: x[0], device_batch),
+                        deterministic=True)["params"]
+    loss_fn = make_loss_fn(tcfg.loss_func, tcfg.pos_wt)
+    tx = _make_tx(tcfg, params)
+
+    def model_apply_train(params_, b, rng_):
+        return model.apply({"params": params_}, b, deterministic=False,
                            rngs={"dropout": rng_})
 
     train_step = make_train_step(model_apply_train, loss_fn, tx,
-                                 accum_steps=ACCUM)
-    state = create_train_state(params, tx)
-    return train_step, state, device_batch
+                                 accum_steps=accum)
+    return model, params, train_step, create_train_state(params, tx), \
+        device_batch
+
+
+def bench_headline():
+    ucfg = UniterConfig(dtype="bfloat16")
+    _, _, step, state, batch = _build_finetune(ucfg)
+    sec = _time_steps(step, state, batch)
+    return BATCH * ACCUM / sec
+
+
+def bench_inference_p50():
+    ucfg = UniterConfig(dtype="bfloat16")
+    model = MemeUniter(ucfg, n_classes=1)
+    rng = np.random.RandomState(0)
+    one = jax.tree.map(lambda x: x[0], _finetune_batch(rng, ucfg, BATCH, 1))
+    params = model.init(jax.random.PRNGKey(0), one,
+                        deterministic=True)["params"]
+
+    @jax.jit
+    def fwd(p, b):
+        return model.apply({"params": p}, b, deterministic=True)
+
+    np.asarray(fwd(params, one))
+    # synced per-call latency includes the axon relay round trip (~25 ms
+    # host↔TPU tunnel, not device time); the pipelined number is the
+    # device-side batch latency (matches BASELINE.md round-1 methodology)
+    times = []
+    for _ in range(30):
+        t0 = time.perf_counter()
+        np.asarray(fwd(params, one))
+        times.append(time.perf_counter() - t0)
+    t0 = time.perf_counter()
+    for _ in range(30):
+        out = fwd(params, one)
+    np.asarray(out)
+    pipelined = (time.perf_counter() - t0) / 30
+    return {"p50_synced_incl_relay_rtt": float(np.percentile(times, 50) * 1000),
+            "per_batch_pipelined": pipelined * 1000}
+
+
+def bench_text_only():
+    import dataclasses
+
+    from meme_challenge_tpu.models.text_models import (
+        MODEL_DICT, TextBackbone, TransformerClassificationHead)
+
+    # bert-base backbone, bf16 compute (reference text_based default model)
+    cfg = dataclasses.replace(MODEL_DICT["bert"]["config"], dtype="bfloat16")
+    model = TransformerClassificationHead(
+        backbone=TextBackbone(cfg), num_classes=1, dropout=0.5,
+        num_layers=1, hidden_dim=512, act="gelu", use_pool_output=True)
+    B = 16
+    rng = np.random.RandomState(0)
+    vocab = cfg.vocab_size
+    lens = rng.randint(8, T + 1, size=B)
+
+    def micro():
+        return {
+            "input_ids": jnp.asarray(rng.randint(0, vocab, (B, T)),
+                                     jnp.int32),
+            "txt_mask": jnp.asarray(np.arange(T)[None] < lens[:, None],
+                                    jnp.int32),
+            "labels": jnp.asarray(rng.randint(0, 2, B), jnp.int32),
+            "sample_mask": jnp.ones(B, jnp.int32),
+        }
+
+    device_batch = {k: jnp.stack([micro()[k] for _ in range(ACCUM)])
+                    for k in micro()}
+    params = model.init(jax.random.PRNGKey(0),
+                        jax.tree.map(lambda x: x[0], device_batch),
+                        deterministic=True)["params"]
+    tcfg = TrainConfig(lr=3e-5, batch_size=B, gradient_accumulation=ACCUM,
+                       scheduler="warmup_cosine", warmup_steps=500)
+    loss_fn = make_loss_fn("bce_logits", 1.0)
+    tx = _make_tx(tcfg, params)
+
+    def apply_train(params_, b, rng_):
+        return model.apply({"params": params_}, b, deterministic=False,
+                           rngs={"dropout": rng_})
+
+    step = make_train_step(apply_train, loss_fn, tx, accum_steps=ACCUM)
+    sec = _time_steps(step, create_train_state(params, tx), device_batch)
+    return B * ACCUM / sec
+
+
+def bench_pretrain():
+    """MLM / ITM(+IPOT) / MRFR task steps through the pretrain driver's
+    step builder; returns mean memes/s across the three tasks (MetaLoader
+    fixes one task per accumulation group, data/pretrain.py)."""
+    from meme_challenge_tpu.models.uniter import UniterForPretraining
+    from meme_challenge_tpu.train.pretrain_driver import PretrainTrainer
+
+    ucfg = UniterConfig(dtype="bfloat16")
+    model = UniterForPretraining(ucfg)
+    B = 16
+    rng = np.random.RandomState(0)
+    lens = rng.randint(8, T + 1, size=B)
+    img_lens = rng.randint(10, R + 1, size=B)
+
+    def base_micro():
+        txt_mask = (np.arange(T)[None] < lens[:, None]).astype(np.int32)
+        img_mask = (np.arange(R)[None] < img_lens[:, None]).astype(np.int32)
+        return {
+            "input_ids": rng.randint(0, ucfg.vocab_size, (B, T)).astype(np.int32),
+            "position_ids": np.tile(np.arange(T, dtype=np.int32), (B, 1)),
+            "img_feat": rng.randn(B, R, ucfg.img_dim).astype(np.float32),
+            "img_pos_feat": rng.rand(B, R, 7).astype(np.float32),
+            "txt_mask": txt_mask, "img_mask": img_mask,
+            "sample_mask": np.ones(B, np.int32),
+        }
+
+    def task_batch(task):
+        m = base_micro()
+        if task == "mlm":
+            labels = np.full((B, T), -1, np.int32)
+            labels[:, 1:4] = rng.randint(0, ucfg.vocab_size, (B, 3))
+            m["txt_labels"] = labels
+        elif task == "mrfr":
+            img_masks = np.zeros((B, R), bool)
+            img_masks[:, :5] = True
+            m["img_masks"] = img_masks
+            m["feat_targets"] = rng.randn(B, R, ucfg.img_dim).astype(np.float32)
+        elif task == "itm":
+            m["targets"] = rng.randint(0, 2, B).astype(np.int32)
+        return {k: jnp.stack([jnp.asarray(v)] * ACCUM) for k, v in m.items()}
+
+    init_micro = dict(base_micro())
+    init_micro.update(
+        txt_labels=np.full((B, T), -1, np.int32),
+        img_masks=np.zeros((B, R), bool),
+        feat_targets=np.zeros((B, R, ucfg.img_dim), np.float32),
+        label_targets=np.full((B, R, 1601), 1.0 / 1601, np.float32),
+        targets=np.zeros(B, np.int32),
+    )
+    init_micro = {k: jnp.asarray(v) for k, v in init_micro.items()}
+    params = model.init(jax.random.PRNGKey(0), init_micro, "init",
+                        deterministic=True)["params"]
+    tcfg = TrainConfig(lr=3e-5, batch_size=B, gradient_accumulation=ACCUM,
+                       scheduler="warmup_cosine", warmup_steps=500)
+    trainer = PretrainTrainer(tcfg, model, params, meta_loader=None,
+                              steps_per_epoch=100, ot_weight=0.1)
+    rates = {}
+    for task in ("mlm", "itm", "mrfr"):
+        step = trainer._get_task_step(task)
+        batch = task_batch(task)
+        state = trainer.state
+        root = jax.random.PRNGKey(0)
+        for i in range(WARMUP_STEPS):
+            state, losses = step(state, batch, jax.random.fold_in(root, i))
+            np.asarray(losses)
+        t0 = time.perf_counter()
+        for i in range(10):
+            state, losses = step(state, batch, jax.random.fold_in(root, 50 + i))
+        np.asarray(losses)
+        rates[task] = B * ACCUM / ((time.perf_counter() - t0) / 10)
+        trainer.state = state
+    return rates
+
+
+def bench_uniter_large():
+    ucfg = UniterConfig(dtype="bfloat16", hidden_size=1024,
+                        num_hidden_layers=24, num_attention_heads=16,
+                        intermediate_size=4096)
+    _, _, step, state, batch = _build_finetune(ucfg)
+    sec = _time_steps(step, state, batch, steps=15)
+    return BATCH * ACCUM / sec
+
+
+def bench_extraction():
+    """Detector feature extraction s/img (reference utils/extractor.py logs
+    the same number), mode 1, synthetic 600×800 image, tiny-but-real graph."""
+    from meme_challenge_tpu.extract.detector import (
+        DetectorConfig, FeatureExtractor, init_detector_params)
+
+    cfg = DetectorConfig()
+    rng = np.random.RandomState(0)
+    params = init_detector_params(cfg, jax.random.PRNGKey(0))
+    ex = FeatureExtractor(cfg, params)
+    img = (rng.rand(600, 800, 3) * 255).astype(np.uint8)
+    ex.extract(img, mode=1)  # compile + warm
+    t0 = time.perf_counter()
+    n = 3
+    for _ in range(n):
+        ex.extract(img, mode=1)
+    return (time.perf_counter() - t0) / n
 
 
 def main():
-    train_step, state, device_batch = build()
-    root = jax.random.PRNGKey(0)
-    for i in range(WARMUP_STEPS):
-        state, out = train_step(state, device_batch,
-                                jax.random.fold_in(root, i))
-        # NOTE: sync via a real fetch — on the axon relay platform
-        # jax.block_until_ready returns without waiting; np.asarray is the
-        # only reliable barrier. Warmup syncs per step so stray compiles
-        # finish before timing.
-        np.asarray(out["loss"])
+    headline = bench_headline()
+    extras = {}
+    for name, fn in [
+        ("inference_ms_batch16", bench_inference_p50),
+        ("text_only_bert_memes_per_sec", bench_text_only),
+        ("pretrain_memes_per_sec_by_task", bench_pretrain),
+        ("uniter_large_memes_per_sec", bench_uniter_large),
+        ("extraction_sec_per_img", bench_extraction),
+    ]:
+        try:
+            extras[name] = jax.tree.map(
+                lambda v: round(float(v), 3), _with_timeout(fn))
+        except Exception as e:  # noqa: BLE001 — report, don't sink the run
+            extras[name] = f"error: {type(e).__name__}: {e}"[:200]
 
-    t0 = time.perf_counter()
-    for i in range(TIMED_STEPS):
-        state, out = train_step(state, device_batch,
-                                jax.random.fold_in(root, 100 + i))
-    np.asarray(out["loss"])  # drains the queued chain
-    elapsed = time.perf_counter() - t0
-
-    n_chips = jax.device_count()
-    memes = BATCH * ACCUM * TIMED_STEPS
-    memes_per_sec_per_chip = memes / elapsed / n_chips
     print(json.dumps({
         "metric": "memes_per_sec_per_chip_uniter_base_finetune",
-        "value": round(memes_per_sec_per_chip, 2),
+        "value": round(headline, 2),
         "unit": "memes/s/chip",
-        "vs_baseline": round(
-            memes_per_sec_per_chip / REFERENCE_BASELINE_MEMES_PER_SEC, 3),
+        "vs_baseline": round(headline / REFERENCE_BASELINE_MEMES_PER_SEC, 3),
+        "extra_metrics": extras,
     }))
 
 

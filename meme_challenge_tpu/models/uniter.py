@@ -169,7 +169,7 @@ class ImageEmbeddings(nn.Module):
         if img_masks is not None:
             # Row 0 = "not masked" must contribute nothing; the reference
             # zeroes it in-place each forward (model/model.py:261).
-            mask_emb = self.mask_embedding.at[0].set(0.0)
+            mask_emb = jnp.asarray(self.mask_embedding).at[0].set(0.0)
             img_feat = img_feat + jnp.take(
                 mask_emb, img_masks.astype(jnp.int32), axis=0)
         im = img_feat.astype(jnp.float32) @ self.img_linear_kernel + self.img_linear_bias
@@ -243,15 +243,21 @@ class StackedEncoder(nn.Module):
         p_hid = cfg.hidden_dropout_prob
         use_dropout = (not deterministic) and (p_attn > 0 or p_hid > 0)
         dropout_rng = self.make_rng("dropout") if use_dropout else None
-        # the fused kernel has no in-kernel RNG yet: usable whenever
-        # *attention* dropout is off (hidden dropout lives outside it)
-        use_pallas = cfg.use_pallas_attention and (
-            deterministic or p_attn == 0.0)
+        # attention dropout runs INSIDE the fused kernel via the TPU hardware
+        # PRNG (ops/attention.py), so the kernel serves the reference
+        # training recipe (attention_probs_dropout_prob 0.1) too
+        use_pallas = cfg.use_pallas_attention
+        attn_rate = p_attn if (use_dropout and not deterministic) else 0.0
 
         def dropout(x, rng, rate):
             if not use_dropout or rate == 0.0:
                 return x
-            keep = jax.random.bernoulli(rng, 1.0 - rate, x.shape)
+            # integer-threshold dropout: raw PRNG words compared against
+            # rate·2³² (exact to 2⁻³²) — skips bernoulli's uint→float
+            # conversion over the largest tensors in the step
+            bits = jax.random.bits(rng, x.shape, jnp.uint32)
+            keep = bits >= jnp.uint32(min(int(rate * (1 << 32)),
+                                          (1 << 32) - 1))
             return jnp.where(keep, x / (1.0 - rate), 0.0).astype(x.dtype)
 
         bias32 = attn_bias.astype(jnp.float32)
@@ -261,13 +267,26 @@ class StackedEncoder(nn.Module):
                 r_attn, r_ao, r_ffn = jax.random.split(rng, 3)
             else:
                 r_attn = r_ao = r_ffn = None
-            q = x @ lp["q_kernel"].astype(dtype) + lp["q_bias"].astype(dtype)
-            k = x @ lp["k_kernel"].astype(dtype) + lp["k_bias"].astype(dtype)
-            v = x @ lp["v_kernel"].astype(dtype) + lp["v_bias"].astype(dtype)
+            # one wide [H, 3H] matmul for Q/K/V — bigger MXU tile than three
+            # [H, H] launches; weights are concatenated in-trace (cheap, the
+            # converter's per-matrix layout is unchanged)
+            qkv_kernel = jnp.concatenate(
+                [lp["q_kernel"], lp["k_kernel"], lp["v_kernel"]],
+                axis=-1).astype(dtype)
+            qkv_bias = jnp.concatenate(
+                [lp["q_bias"], lp["k_bias"], lp["v_bias"]]).astype(dtype)
+            q, k, v = jnp.split(x @ qkv_kernel + qkv_bias, 3, axis=-1)
             q, k, v = (_split_heads(t, n_heads) for t in (q, k, v))
             if use_pallas:
                 from meme_challenge_tpu.ops.attention import fused_attention
-                ctx = fused_attention(q, k, v, bias32, scale).astype(dtype)
+                if attn_rate > 0.0:
+                    seeds = jax.random.randint(
+                        r_attn, (q.shape[0],), 0, jnp.iinfo(jnp.int32).max,
+                        dtype=jnp.int32)
+                else:
+                    seeds = None
+                ctx = fused_attention(q, k, v, bias32, scale, attn_rate,
+                                      seeds).astype(dtype)
             else:
                 scores = jnp.einsum(
                     "bnqd,bnkd->bnqk", q, k,
@@ -294,7 +313,12 @@ class StackedEncoder(nn.Module):
             return x
 
         if cfg.remat:
-            layer_forward = jax.checkpoint(layer_forward)
+            # "dots": keep matmul outputs, recompute elementwise/softmax —
+            # selective remat that unlocks larger batches without the 20%
+            # full-recompute penalty measured in round 1 (BASELINE.md).
+            policy = (jax.checkpoint_policies.checkpoint_dots
+                      if cfg.remat_policy == "dots" else None)
+            layer_forward = jax.checkpoint(layer_forward, policy=policy)
 
         def scan_body(carry, xs):
             lp, rng = xs
@@ -306,8 +330,13 @@ class StackedEncoder(nn.Module):
             # dummy; never consumed (static branch)
             layer_rngs = jnp.zeros((L,), dtype=jnp.uint32)
 
+        if cfg.scan_unroll > 0:
+            unroll = cfg.scan_unroll
+        else:  # auto: full unroll on TPU (BASELINE.md round-2 sweep)
+            unroll = L if jax.devices()[0].platform == "tpu" else 1
         hidden, _ = jax.lax.scan(scan_body, hidden.astype(dtype),
-                                 (stacked, layer_rngs))
+                                 (stacked, layer_rngs),
+                                 unroll=unroll)
         return hidden
 
 

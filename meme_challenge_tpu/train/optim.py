@@ -18,6 +18,7 @@ from __future__ import annotations
 from typing import Callable, Optional
 
 import jax
+import jax.numpy as jnp
 import optax
 
 
@@ -101,19 +102,28 @@ def make_optimizer(
     params_example=None,
     eps: float = 1e-8,
     update_scales=None,
+    mu_dtype=None,
 ) -> optax.GradientTransformation:
+    """``mu_dtype``: storage dtype for the Adam/Adamax first moment —
+    ``jnp.bfloat16`` halves optimizer HBM traffic for the largest state
+    tensor (a standard TPU trick; second moment and params stay fp32).
+    Accepts a dtype or a string; "float32"/None keep the fp32 default."""
+    if isinstance(mu_dtype, str):
+        mu_dtype = None if mu_dtype == "float32" else jnp.dtype(mu_dtype)
     mask = (no_decay_mask(params_example)
             if params_example is not None else None)
     decay = optax.add_decayed_weights(weight_decay, mask=mask) \
         if weight_decay else optax.identity()
 
     if name == "adam":
-        core = [decay, optax.scale_by_adam(b1=beta1, b2=beta2, eps=eps)]
+        core = [decay, optax.scale_by_adam(b1=beta1, b2=beta2, eps=eps,
+                                           mu_dtype=mu_dtype)]
     elif name == "adamax":
         # torch Adamax defaults (0.9, 0.999), L2 weight decay
         core = [decay, optax.scale_by_adamax(b1=0.9, b2=0.999, eps=eps)]
     elif name == "adamw":
-        core = [optax.scale_by_adam(b1=beta1, b2=beta2, eps=eps), decay]
+        core = [optax.scale_by_adam(b1=beta1, b2=beta2, eps=eps,
+                                    mu_dtype=mu_dtype), decay]
     elif name == "sgd":
         # torch SGD(momentum=beta1) (reference optim_utils.py:43-45)
         core = [decay, optax.trace(decay=beta1)] if beta1 else [decay]

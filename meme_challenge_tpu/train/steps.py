@@ -64,20 +64,33 @@ def make_train_step(
                    ) -> Tuple[TrainState, Dict[str, Array]]:
         rngs = jax.random.split(rng, accum_steps)
 
-        def scan_body(carry, xs):
-            grad_acc = carry
-            micro_batch, micro_rng = xs
-            (loss, probs), grads = grad_fn(state.params, micro_batch, micro_rng)
-            grad_acc = jax.tree.map(jnp.add, grad_acc, grads)
-            return grad_acc, (loss, probs)
+        if accum_steps == 1:
+            # no accumulator round-trip at all
+            micro = jax.tree.map(lambda x: x[0], batch)
+            (loss, probs), grads = grad_fn(state.params, micro, rngs[0])
+            losses, probs = loss[None], probs[None]
+        else:
+            # seed the accumulator with micro 0's grads — skips the
+            # zero-init + first add (a full fp32 param-sized HBM round-trip)
+            first = jax.tree.map(lambda x: x[0], batch)
+            (loss0, probs0), grad_acc = grad_fn(state.params, first, rngs[0])
+            rest = jax.tree.map(lambda x: x[1:], batch)
 
-        zero_grads = jax.tree.map(
-            lambda p: jnp.zeros(p.shape, jnp.float32), state.params)
-        grad_acc, (losses, probs) = jax.lax.scan(
-            scan_body, zero_grads, (batch, rngs))
-        # average over micro-batches (reference average_gradients,
-        # train_template.py:89-92)
-        grads = jax.tree.map(lambda g: g / accum_steps, grad_acc)
+            def scan_body(carry, xs):
+                grad_acc = carry
+                micro_batch, micro_rng = xs
+                (loss, probs), grads = grad_fn(state.params, micro_batch,
+                                               micro_rng)
+                grad_acc = jax.tree.map(jnp.add, grad_acc, grads)
+                return grad_acc, (loss, probs)
+
+            grad_acc, (losses_r, probs_r) = jax.lax.scan(
+                scan_body, grad_acc, (rest, rngs[1:]))
+            losses = jnp.concatenate([loss0[None], losses_r])
+            probs = jnp.concatenate([probs0[None], probs_r])
+            # average over micro-batches (reference average_gradients,
+            # train_template.py:89-92)
+            grads = jax.tree.map(lambda g: g / accum_steps, grad_acc)
         updates, new_opt_state = tx.update(grads, state.opt_state, state.params)
         new_params = optax.apply_updates(state.params, updates)
         new_state = TrainState(new_params, new_opt_state, state.step + 1)
