@@ -3,9 +3,10 @@
 The reference tokenizes with HuggingFace ``BertTokenizer('bert-base-cased')``
 (train_uniter.py:124-126, padding='max_length', truncation=True). This build
 runs with zero network egress, so the tokenizer is implemented here and loads
-any BERT ``vocab.txt``; with the real bert-base-cased vocab file it produces
-identical ids to HF's slow BertTokenizer (verified in
-tests/test_tokenizer.py against HF's in-process implementation).
+any BERT ``vocab.txt``; it produces identical ids to HF's slow BertTokenizer
+(verified in tests/test_data.py: hand-picked cases plus a multi-thousand-
+string unicode/punctuation/CJK/long-word fuzz against HF's in-process
+implementation on a generated vocab).
 
 Cased-model settings: no lowercasing, no accent stripping.
 """

@@ -229,3 +229,60 @@ def test_mlm_vocab_range_excludes_unused_and_specials(tmp_path):
     tok = BertTokenizer(path)
     lo, hi = tok.mlm_vocab_range()
     assert lo == 104 and hi == len(tokens)
+
+
+def test_tokenizer_fuzz_vs_hf(tmp_path_factory):
+    """Property fuzz: thousands of generated strings across the classic
+    WordPiece divergence zones — unicode punctuation, CJK, accents,
+    >100-char words, whitespace/control chars — must tokenize identically
+    to HF's slow BertTokenizer on the same (larger, generated) vocab."""
+    from transformers import BertTokenizer as HFTok
+
+    from meme_challenge_tpu.data.tokenizer import write_vocab
+
+    rng = np.random.RandomState(7)
+    # build a vocab with whole words, ## pieces, unicode + CJK entries
+    words = ["the", "cat", "hat", "love", "wow", "run", "jump", "meme",
+             "chaos", "über", "café", "naïve", "résumé", "Ötzi"]
+    pieces = ["##s", "##ing", "##ed", "##er", "##y", "##é", "##ü",
+              "##aaa", "##bbb", "##cc", "a", "b", "c", "z", "Z"]
+    cjk = ["中", "文", "字", "日", "本"]
+    punct = list("!?.,;:()[]{}\"'`~@#$%^&*-_+=<>/\\|")
+    vocab = (["[PAD]", "[UNK]", "[CLS]", "[SEP]", "[MASK]"]
+             + words + pieces + cjk + punct)
+    vocab_file = str(tmp_path_factory.mktemp("fuzzvocab") / "vocab.txt")
+    write_vocab(vocab_file, vocab)
+
+    ours = BertTokenizer(vocab_file)
+    theirs = HFTok(vocab_file=vocab_file, do_lower_case=False)
+
+    unicode_punct = ["…", "—", "–", "“", "”", "‘", "’", "¡", "¿", "«", "»",
+                     "、", "。", "・"]
+    whitespace = [" ", "  ", "\t", "\n", "\r", " ", " "]
+    atoms = (words + pieces + cjk + punct + unicode_punct
+             + ["über", "ÜBER", "Café", "ﬃ", "ß", "ǅ",
+                "a" * 120,              # > max_input_chars_per_word
+                "café" * 40,            # long accented word
+                "中" * 30,               # CJK run
+                "a中b", "wow中wow",      # mixed script
+                "áé",       # combining accents
+                "​", "﻿",     # zero-width / BOM
+                "x\x00y", "m\x1fn",     # control chars
+                "🙂", "🔥🔥", "👍🏽"])    # emoji (outside vocab)
+    n_mismatch = 0
+    for i in range(3000):
+        k = rng.randint(0, 8)
+        parts = [atoms[rng.randint(len(atoms))] for _ in range(k)]
+        seps = [whitespace[rng.randint(len(whitespace))] for _ in parts]
+        text = "".join(s + p for s, p in zip(seps, parts))
+        got, want = ours.tokenize(text), theirs.tokenize(text)
+        if got != want:
+            n_mismatch += 1
+            assert n_mismatch == 0, (repr(text), got, want)
+        # ids path too, on a sample
+        if i % 50 == 0:
+            enc_o = ours.encode(text, max_length=24)
+            enc_t = theirs(text, max_length=24, padding="max_length",
+                           truncation=True)
+            assert enc_o["input_ids"].tolist() == enc_t["input_ids"], \
+                repr(text)
