@@ -20,9 +20,12 @@ from typing import Callable, Dict, List, Optional
 import jax
 import numpy as np
 
-from meme_challenge_tpu.core.artifacts import export_predictions
+from meme_challenge_tpu.core.artifacts import (
+    export_metrics_json,
+    export_predictions,
+)
 from meme_challenge_tpu.core.config import TrainConfig
-from meme_challenge_tpu.core.metrics import find_optimal_threshold
+from meme_challenge_tpu.core.metrics import find_optimal_threshold, standard_metrics
 from meme_challenge_tpu.core.seeding import fold_seed, set_seed
 from meme_challenge_tpu.data.crossval_splits import (
     crossval_dir,
@@ -46,11 +49,14 @@ def train_crossval_fold_parallel(
     mesh=None,
     run_ensemble: bool = True,
     ea_generations: int = 100,
+    resume_path: Optional[str] = None,
 ):
     """Train all crossval folds simultaneously on the mesh.
 
     ``init_params_fn(seed, example_batch)`` → params for one fold (each fold
     re-seeded with ``seed + fold_idx`` like the sequential driver).
+    ``resume_path``: driver-state file — written after every epoch and, if
+    present at startup, loaded so a killed run resumes mid-crossval.
     """
     test_loaders = test_loaders or []
     cv_path = crossval_dir(config.data_path, dev_size, use_dev_set)
@@ -83,7 +89,10 @@ def train_crossval_fold_parallel(
 
     trainer = FoldParallelTrainer(config, model, params_stacked,
                                   train_loaders, val_loaders, mesh=mesh)
-    fold_val_metrics = trainer.train_main()
+    if resume_path and os.path.isfile(resume_path):
+        logger.info("[fold-parallel] resuming from %s", resume_path)
+        trainer.load_checkpoint(resume_path)
+    fold_val_metrics = trainer.train_main(checkpoint_path=resume_path)
 
     results = {"val_metrics": fold_val_metrics}
     mean_scores = {k: mean(v[k] for v in fold_val_metrics)
@@ -100,6 +109,16 @@ def train_crossval_fold_parallel(
         return os.path.join(
             config.model_path,
             f"{base_name}_fold_{fold_idx}_{set_name}_preds.csv")
+
+    # per-fold best-param checkpoints, sequential naming `*_fold_i.*`
+    # (reference utils/crossval.py:185 / train_template ModelSaver path)
+    from meme_challenge_tpu.train.checkpoint import ModelSaver
+
+    if not config.no_model_checkpoints:
+        for f in range(num_folds):
+            ckpt = os.path.join(config.model_path,
+                                f"{base_name}_fold_{f}.{base_ext}")
+            ModelSaver(ckpt).save(trainer.best_fold_params(f))
 
     # per-fold optimal thresholds from each fold's validation split
     val_probs, _ = trainer.predict_folds(val_loaders)
@@ -123,6 +142,7 @@ def train_crossval_fold_parallel(
     else:
         per_fold_tests = None
 
+    fold_test_metrics = [{} for _ in range(num_folds)]
     for loader in all_test_loaders:
         probs_by_fold, ids_by_fold = trainer.predict_folds(
             [loader] * num_folds)
@@ -134,6 +154,11 @@ def train_crossval_fold_parallel(
                 (probs_by_fold[f] > thresholds[f]).astype(np.int64),
                 labels=(loader.dataset.labels[:len(probs_by_fold[f])]
                         if has_labels else None))
+            if has_labels:
+                fold_test_metrics[f][loader.dataset.name] = standard_metrics(
+                    probs_by_fold[f],
+                    loader.dataset.labels[:len(probs_by_fold[f])],
+                    add_optimal_acc=True)
     if per_fold_tests is not None:
         # each fold has its OWN dev_seen_XX test split
         probs_by_fold, ids_by_fold = trainer.predict_folds(per_fold_tests)
@@ -144,6 +169,19 @@ def train_crossval_fold_parallel(
                 (probs_by_fold[f] > thresholds[f]).astype(np.int64),
                 labels=per_fold_tests[f].dataset.labels[
                     :len(probs_by_fold[f])])
+            fold_test_metrics[f][per_fold_tests[f].dataset.name] = (
+                standard_metrics(
+                    probs_by_fold[f],
+                    per_fold_tests[f].dataset.labels[:len(probs_by_fold[f])],
+                    add_optimal_acc=True))
+
+    # per-fold metrics JSON, sequential `*_fold_i_metrics.json` naming
+    # (reference train_template.py:343-354 schema: dev + test sections)
+    for f in range(num_folds):
+        export_metrics_json(
+            os.path.join(config.model_path,
+                         f"{base_name}_fold_{f}_metrics.json"),
+            {"dev": fold_val_metrics[f], "test": fold_test_metrics[f]})
 
     if run_ensemble:
         base_path = os.path.join(config.model_path, base_name + "_fold_*")

@@ -24,7 +24,9 @@ Crossval folds have identical train/val sizes by construction
 """
 from __future__ import annotations
 
+import json
 import logging
+import os
 import time
 from typing import Callable, Dict, List, Optional
 
@@ -36,7 +38,7 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 from meme_challenge_tpu.core.config import TrainConfig
 from meme_challenge_tpu.core.metrics import standard_metrics
-from meme_challenge_tpu.core.seeding import prng_key
+from meme_challenge_tpu.core.seeding import fold_seed, prng_key
 from meme_challenge_tpu.train.losses import make_loss_fn
 from meme_challenge_tpu.train.optim import make_optimizer
 from meme_challenge_tpu.train.schedules import make_schedule
@@ -76,11 +78,13 @@ class FoldParallelTrainer:
         if len(lengths) > 1:
             # ConfounderSampler makes per-fold epoch lengths differ slightly
             # (fold splits contain different confounder counts); folds march
-            # in lockstep, so each epoch runs min-length steps and longer
-            # folds drop their tail batches (resampled next epoch).
+            # in lockstep for max-length steps per epoch, and shorter folds
+            # CYCLE (restart their stream) instead of the longest folds
+            # dropping tail batches — no data is silently skipped.
             logger.warning(
                 "fold train loaders have unequal lengths %s; each epoch "
-                "runs min(%i) steps per fold", sorted(lengths), min(lengths))
+                "runs max(%i) steps per fold, shorter folds cycle",
+                sorted(lengths), max(lengths))
         self.mesh = mesh
 
         c = config
@@ -93,7 +97,7 @@ class FoldParallelTrainer:
         self.tx = make_optimizer(
             c.optimizer, c.lr, schedule, beta1=c.beta1, beta2=c.beta2,
             weight_decay=c.weight_decay, max_grad_norm=c.max_grad_norm,
-            params_example=params_example)
+            params_example=params_example, mu_dtype=c.adam_mu_dtype)
 
         opt_state = jax.vmap(self.tx.init)(params_stacked)
         self.state = TrainState(
@@ -105,7 +109,13 @@ class FoldParallelTrainer:
         if mesh is not None:
             self._shard_state()
 
-        self.root_rng = prng_key(c.seed)
+        # per-fold dropout streams seeded exactly like the sequential
+        # driver: prng_key(fold_seed(seed, fold)) (crossval_driver.py:103),
+        # folded with that fold's own step counter — fold-parallel F=1 is
+        # bit-compatible with the sequential Trainer's RNG discipline
+        self.fold_roots = jnp.stack(
+            [prng_key(fold_seed(c.seed, f)) for f in range(self.num_folds)])
+        self.start_epoch = 1
         self.best_metric = np.full(
             self.num_folds,
             np.inf if c.optimize_for == "loss" else -np.inf)
@@ -174,50 +184,94 @@ class FoldParallelTrainer:
         self._snapshot = jax.jit(snapshot, donate_argnums=(0,))
 
     def _shard_state(self):
-        fold_sharding = NamedSharding(self.mesh, P("fold"))
+        """Shard fold-stacked state over the mesh.
 
-        def put(leaf):
+        Every leaf is fold-sharded; when the mesh also has a ``model`` axis,
+        parameters (and their optimizer moments, via
+        ``optax.tree_utils.tree_map_params``) additionally get Megatron-style
+        tensor-parallel specs (mesh.uniter_param_specs) — fold × data × model
+        3-axis training with all collectives derived by GSPMD.
+        """
+        mesh = self.mesh
+        fold_sharding = NamedSharding(mesh, P("fold"))
+
+        def put_fold(leaf):
             return jax.device_put(leaf, fold_sharding)
 
+        if "model" in mesh.axis_names:
+            from meme_challenge_tpu.parallel.mesh import (
+                filter_divisible_specs,
+                uniter_param_specs,
+            )
+
+            specs = uniter_param_specs(self.state.params,
+                                       model_axis="model", fold_axis="fold")
+            specs = filter_divisible_specs(mesh, self.state.params, specs)
+
+            def put_spec(leaf, spec):
+                return jax.device_put(leaf, NamedSharding(mesh, spec))
+
+            import optax as _optax
+
+            params = jax.tree.map(put_spec, self.state.params, specs)
+            opt_state = _optax.tree_utils.tree_map_params(
+                self.tx, put_spec, self.state.opt_state, specs,
+                transform_non_params=put_fold)
+            self.best_params = jax.tree.map(put_spec, self.best_params,
+                                            specs)
+        else:
+            params = jax.tree.map(put_fold, self.state.params)
+            opt_state = jax.tree.map(put_fold, self.state.opt_state)
+            self.best_params = jax.tree.map(put_fold, self.best_params)
         self.state = TrainState(
-            params=jax.tree.map(put, self.state.params),
-            opt_state=jax.tree.map(put, self.state.opt_state),
+            params=params, opt_state=opt_state,
             step=jax.device_put(self.state.step, fold_sharding),
         )
-        self.best_params = jax.tree.map(put, self.best_params)
 
     # ----------------------------------------------------------------- train
 
     def _fold_device_batches(self):
-        """Zip fold loaders → [F, accum, micro_bs, ...] device batches."""
+        """Zip fold loaders → [F, accum, micro_bs, ...] device batches.
+
+        Folds march in lockstep for ``max(len(loader)) // accum`` steps per
+        epoch; a fold whose stream runs out mid-epoch restarts it (cycles)
+        so longer folds never drop tail batches and shorter folds never
+        starve the mesh.
+        """
         accum = self.config.gradient_accumulation
+        steps = max(max(len(l) for l in self.train_loaders) // accum, 1)
         iters = [iter(l) for l in self.train_loaders]
-        while True:
-            fold_groups = []
+
+        def next_micro(f):
             try:
-                for it in iters:
-                    group = []
-                    for _ in range(accum):
-                        b = dict(next(it))
-                        b.pop("ids", None)
-                        group.append(b)
-                    fold_groups.append(stack_for_accum(group))
+                return dict(next(iters[f]))
             except StopIteration:
-                # drop ragged tails uniformly (loaders are aligned, so this
-                # only trims < accum trailing micro-batches per fold)
-                return
+                iters[f] = iter(self.train_loaders[f])
+                return dict(next(iters[f]))
+
+        for _ in range(steps):
+            fold_groups = []
+            for f in range(self.num_folds):
+                group = []
+                for _ in range(accum):
+                    b = next_micro(f)
+                    b.pop("ids", None)
+                    group.append(b)
+                fold_groups.append(stack_for_accum(group))
             yield {k: jnp.stack([g[k] for g in fold_groups], axis=0)
                    for k in fold_groups[0]}
 
-    def train_main(self) -> List[Dict[str, float]]:
+    def train_main(self, checkpoint_path: Optional[str] = None
+                   ) -> List[Dict[str, float]]:
+        """``checkpoint_path``: if set, the full driver state is saved
+        there after every epoch (kill-and-resume via ``load_checkpoint``)."""
         c = self.config
         start = time.time()
-        for epoch in range(1, c.max_epoch + 1):
+        for epoch in range(self.start_epoch, c.max_epoch + 1):
             losses = []
             for device_batch in self._fold_device_batches():
-                step0 = int(np.asarray(self.state.step)[0])
-                step_rng = jax.random.fold_in(self.root_rng, step0)
-                fold_rngs = jax.random.split(step_rng, self.num_folds)
+                fold_rngs = jax.vmap(jax.random.fold_in)(
+                    self.fold_roots, self.state.step)
                 self.state, out = self._train_step(
                     self.state, device_batch, fold_rngs)
                 losses.append(np.asarray(out["loss"]))
@@ -230,6 +284,8 @@ class FoldParallelTrainer:
                 "[fold-parallel] epoch %i/%i mean_val_auc=%.4f done=%i/%i "
                 "(%.1fs)", epoch, c.max_epoch, mean_auc,
                 int(self.done.sum()), self.num_folds, time.time() - start)
+            if checkpoint_path:
+                self.save_checkpoint(checkpoint_path, epoch + 1)
             if bool(self.done.all()):
                 break
         return self.fold_val_metrics
@@ -302,6 +358,67 @@ class FoldParallelTrainer:
             self.best_params = self._snapshot(
                 self.best_params, self.state.params,
                 jnp.asarray(improved))
+
+    # --------------------------------------------------------- kill/resume
+
+    def save_checkpoint(self, path: str, next_epoch: int) -> None:
+        """Full driver state → one file: params, optimizer, per-fold early-
+        stopping trackers, best snapshots. Written after every epoch when
+        ``train_main(checkpoint_path=...)`` is set; a killed run resumes
+        exactly (same RNG streams — per-fold step counters are part of the
+        state) via :meth:`load_checkpoint`."""
+        from flax import serialization
+
+        payload = {
+            "params": jax.device_get(self.state.params),
+            "opt_state": jax.device_get(self.state.opt_state),
+            "step": jax.device_get(self.state.step),
+            "best_params": jax.device_get(self.best_params),
+            "best_metric": np.asarray(self.best_metric),
+            "not_improved": np.asarray(self.not_improved),
+            "done": np.asarray(self.done),
+            "next_epoch": int(next_epoch),
+        }
+        os.makedirs(os.path.dirname(os.path.abspath(path)), exist_ok=True)
+        tmp = path + ".tmp"
+        with open(tmp, "wb") as f:
+            f.write(serialization.to_bytes(payload))
+        os.replace(tmp, path)  # atomic: a kill mid-write keeps the old file
+        # best-epoch metric dicts ride in a JSON sidecar (ragged/typed —
+        # not a fixed-shape pytree)
+        with open(path + ".meta.json.tmp", "w") as f:
+            json.dump({"fold_val_metrics": self.fold_val_metrics}, f)
+        os.replace(path + ".meta.json.tmp", path + ".meta.json")
+
+    def load_checkpoint(self, path: str) -> None:
+        from flax import serialization
+
+        template = {
+            "params": self.state.params,
+            "opt_state": self.state.opt_state,
+            "step": self.state.step,
+            "best_params": self.best_params,
+            "best_metric": self.best_metric,
+            "not_improved": self.not_improved,
+            "done": self.done,
+            "next_epoch": 0,
+        }
+        with open(path, "rb") as f:
+            payload = serialization.from_bytes(template, f.read())
+        self.state = TrainState(params=payload["params"],
+                                opt_state=payload["opt_state"],
+                                step=jnp.asarray(payload["step"]))
+        self.best_params = payload["best_params"]
+        self.best_metric = np.asarray(payload["best_metric"])
+        self.not_improved = np.asarray(payload["not_improved"])
+        self.done = np.asarray(payload["done"])
+        self.start_epoch = int(payload["next_epoch"])
+        meta = path + ".meta.json"
+        if os.path.isfile(meta):
+            with open(meta) as f:
+                self.fold_val_metrics = json.load(f)["fold_val_metrics"]
+        if self.mesh is not None:
+            self._shard_state()
 
     # -------------------------------------------------------------- exports
 

@@ -117,6 +117,31 @@ def uniter_param_specs(params: dict, model_axis: str = "model",
     return jax.tree_util.tree_map_with_path(spec_for, params)
 
 
+def filter_divisible_specs(mesh: Mesh, params: dict, specs: dict) -> dict:
+    """Drop sharding on any dim the mesh axis doesn't divide evenly.
+
+    Keeps TP specs usable for arbitrary model sizes (e.g. a vocab that the
+    ``model`` axis doesn't divide) — those leaves fall back to replication
+    on that axis instead of erroring in ``device_put``.
+    """
+    sizes = dict(zip(mesh.axis_names, mesh.devices.shape))
+
+    def fix(leaf, spec: P) -> P:
+        parts = list(spec)
+        for d, axis in enumerate(parts):
+            if axis is None:
+                continue
+            names = axis if isinstance(axis, tuple) else (axis,)
+            total = int(np.prod([sizes[n] for n in names]))
+            if d >= leaf.ndim or leaf.shape[d] % total != 0:
+                parts[d] = None
+        return P(*parts)
+
+    # params is the primary tree (array leaves); each spec rides along as a
+    # matching subtree (P is a tuple, i.e. itself a pytree)
+    return jax.tree.map(fix, params, specs)
+
+
 def apply_shardings(mesh: Mesh, params: dict, specs: dict) -> dict:
     """device_put every leaf with its NamedSharding."""
     return jax.tree.map(

@@ -154,3 +154,38 @@ def test_fold_sharded_matches_single_device(synth, tmp_path):
     leaves_n = jax.tree.leaves(s_nomesh.params)
     for a, b in zip(leaves_m, leaves_n):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-5)
+
+
+def test_fold_data_model_3axis_training(synth, tmp_path):
+    """Full fold × data × model mesh: FoldParallelTrainer applies Megatron
+    TP specs (with divisibility fallback) to params AND optimizer moments,
+    trains, and keeps per-fold results finite."""
+    n_folds = 2
+    mesh = make_mesh((2, 2, 2), ("fold", "data", "model"))
+    model = MemeUniter(UCFG, n_classes=1)
+    train_loaders, val_loaders = _loaders(synth, n_folds)
+    example = next(iter(val_loaders[0]))
+    example.pop("ids")
+    keys = jax.random.split(jax.random.PRNGKey(0), n_folds)
+    params_stacked = jax.vmap(
+        lambda k: model.init(k, example, deterministic=True)["params"])(keys)
+
+    cfg = TrainConfig(model_path=str(tmp_path), lr=3e-3, batch_size=8,
+                      max_epoch=2, patience=5, gradient_accumulation=2,
+                      warmup_steps=2, seed=0)
+    trainer = FoldParallelTrainer(cfg, model, params_stacked,
+                                  train_loaders, val_loaders, mesh=mesh)
+    # encoder column kernel [F, L, H, out] must be sharded on fold AND model
+    enc = trainer.state.params["uniter"]["encoder"]["q_kernel"]
+    spec = enc.sharding.spec
+    assert spec[0] == "fold" and "model" in tuple(spec), spec
+    # adam moments follow the param specs (tree_map_params path)
+    import optax
+
+    mus = optax.tree_utils.tree_get(trainer.state.opt_state, "mu")
+    mu_spec = mus["uniter"]["encoder"]["q_kernel"].sharding.spec
+    assert "model" in tuple(mu_spec), mu_spec
+
+    fold_metrics = trainer.train_main()
+    assert len(fold_metrics) == n_folds
+    assert all(np.isfinite(m["aucroc"]) for m in fold_metrics)
