@@ -316,13 +316,12 @@ def bench_extraction():
     rng = np.random.RandomState(0)
     params = init_detector_params(cfg, jax.random.PRNGKey(0))
     ex = FeatureExtractor(cfg, params)
-    img = (rng.rand(600, 800, 3) * 255).astype(np.uint8)
-    ex.extract(img, mode=1)  # compile + warm
+    imgs = [(rng.rand(600, 800, 3) * 255).astype(np.uint8)
+            for _ in range(8)]
+    ex.extract_batch(imgs[:2])  # compile + warm
     t0 = time.perf_counter()
-    n = 3
-    for _ in range(n):
-        ex.extract(img, mode=1)
-    return (time.perf_counter() - t0) / n
+    ex.extract_batch(imgs)
+    return (time.perf_counter() - t0) / len(imgs)
 
 
 def main():

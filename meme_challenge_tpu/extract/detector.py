@@ -219,19 +219,84 @@ def get_image_blob(img_bgr: np.ndarray, cfg: DetectorConfig
     return im[None], scale, (new_h, new_w)
 
 
-class FeatureExtractor:
-    """End-to-end extraction driver (reference extract_features.py:41-130)."""
+def _decode_boxes_np(anchors: np.ndarray, deltas: np.ndarray,
+                     weights=(1.0, 1.0, 1.0, 1.0)) -> np.ndarray:
+    """Host copy of :func:`decode_boxes` — keeps the proposal stage free of
+    device round trips (each unchained dispatch costs a relay RTT)."""
+    wx, wy, ww, wh = weights
+    widths = anchors[:, 2] - anchors[:, 0]
+    heights = anchors[:, 3] - anchors[:, 1]
+    cx = anchors[:, 0] + 0.5 * widths
+    cy = anchors[:, 1] + 0.5 * heights
+    dx, dy = deltas[:, 0] / wx, deltas[:, 1] / wy
+    dw = np.minimum(deltas[:, 2] / ww, 4.135)
+    dh = np.minimum(deltas[:, 3] / wh, 4.135)
+    pcx = dx * widths + cx
+    pcy = dy * heights + cy
+    pw = np.exp(dw) * widths
+    ph = np.exp(dh) * heights
+    return np.stack([pcx - 0.5 * pw, pcy - 0.5 * ph,
+                     pcx + 0.5 * pw, pcy + 0.5 * ph], axis=1)
 
-    def __init__(self, cfg: DetectorConfig, params):
+
+class FeatureExtractor:
+    """End-to-end extraction driver (reference extract_features.py:41-130).
+
+    Streaming design: ``extract_batch`` keeps several images in flight. All
+    device dispatches are *dependency-chained* through a zero-valued token —
+    the TPU relay only pipelines chained calls (an independent dispatch pays
+    a full round trip, measured ~40-90 ms vs ~2 ms chained) — and the ROI
+    stage is padded to fixed row buckets so every image shape reuses one
+    compiled program.
+    """
+
+    def __init__(self, cfg: DetectorConfig, params,
+                 nms_impl: str = "native_batched"):
+        """``nms_impl``: strategy for the 1600-class selection NMS —
+        "native_batched" (one C++ call, shared IoU matrix — fastest),
+        "device" (ops/nms.py, one XLA program), or "host_loop" (per-class
+        C++ calls, the reference's shape). All three are exact-equal."""
         self.cfg = cfg
         self.model = BUADetector(cfg)
         self.params = params
+        self.nms_impl = nms_impl
         self._backbone_rpn = jax.jit(
             lambda p, x: self.model.apply(
                 {"params": p}, x, method=BUADetector.backbone_rpn))
         self._roi_forward = jax.jit(
             lambda p, x: self.model.apply(
                 {"params": p}, x, method=BUADetector.roi_forward))
+
+        def _bb_chained(p, x, token):
+            feat, logits, deltas = self.model.apply(
+                {"params": p}, x, method=BUADetector.backbone_rpn)
+            feat = feat + token          # token is always 0.0: value no-op,
+            out_token = feat[0, 0, 0, 0] * 0.0   # dependency edge for relay
+            return feat, logits, deltas, out_token
+
+        self._backbone_rpn_chained = jax.jit(_bb_chained)
+
+        def _roi_chained(p, pooled, token):
+            out = self.model.apply({"params": p}, pooled + token,
+                                   method=BUADetector.roi_forward)
+            return out
+
+        self._roi_forward_chained = jax.jit(_roi_chained)
+
+        def _roi_stage(p, feat, x1, y1, bin_h, bin_w):
+            # device ROIPool (exact Caffe bins, extract/ops.py) + ROI heads
+            # in ONE dispatch; depends on `feat`, so it rides the same
+            # dependency chain as the backbone calls
+            from meme_challenge_tpu.extract.ops import _roi_pool_kernel
+
+            pooled = _roi_pool_kernel(
+                feat[0], x1, y1, bin_h, bin_w,
+                (cfg.pooler_resolution, cfg.pooler_resolution))
+            return self.model.apply({"params": p}, pooled,
+                                    method=BUADetector.roi_forward)
+
+        cfg = self.cfg
+        self._roi_stage = jax.jit(_roi_stage)
 
     # -------------------------------------------------------------- proposals
 
@@ -242,13 +307,15 @@ class FeatureExtractor:
         A = logits.shape[3] // 2
         anchors = make_anchors(cfg, fh, fw)
         # caffe channel layout: [A background | A foreground]; fg prob via
-        # pairwise softmax
-        bg = jnp.asarray(logits[0, :, :, :A])
-        fg = jnp.asarray(logits[0, :, :, A:])
-        scores = np.asarray(jax.nn.sigmoid(fg - bg)).reshape(-1)
+        # pairwise softmax — all host numpy: no extra device round trips
+        bg = np.asarray(logits[0, :, :, :A], np.float64)
+        fg = np.asarray(logits[0, :, :, A:], np.float64)
+        z = (fg - bg).reshape(-1)
+        scores = np.where(z >= 0, 1.0 / (1.0 + np.exp(-np.abs(z))),
+                          np.exp(-np.abs(z)) / (1.0 + np.exp(-np.abs(z)))
+                          ).astype(np.float32)
         deltas = np.asarray(deltas[0]).reshape(fh, fw, A, 4).reshape(-1, 4)
-        boxes = np.array(decode_boxes(jnp.asarray(anchors),
-                                      jnp.asarray(deltas)))
+        boxes = _decode_boxes_np(anchors, deltas)
         boxes[:, 0::2] = boxes[:, 0::2].clip(0, im_w - 1)
         boxes[:, 1::2] = boxes[:, 1::2].clip(0, im_h - 1)
         scores = np.asarray(scores)
@@ -268,10 +335,43 @@ class FeatureExtractor:
                 gt_boxes: Optional[np.ndarray] = None) -> Dict[str, np.ndarray]:
         """mode 1 = features (+boxes), 2 = boxes only, 3 = features for
         ``gt_boxes`` (image coordinates)."""
-        cfg = self.cfg
-        blob, scale, (im_h, im_w) = get_image_blob(img_bgr, cfg)
-        feat, logits, deltas = self._backbone_rpn(self.params, blob)
+        return self.extract_batch(
+            [img_bgr], mode=mode,
+            gt_boxes_list=None if gt_boxes is None else [gt_boxes])[0]
 
+    def extract_batch(self, images, mode: int = 1, gt_boxes_list=None,
+                      lookahead: int = 1):
+        """Streaming multi-image extraction: up to ``lookahead`` backbone
+        dispatches in flight while earlier images run their host stages
+        (proposal NMS, ROIPool, box selection). Results match per-image
+        ``extract`` exactly."""
+        from collections import deque
+
+        token = jnp.zeros((), jnp.float32)
+        pending = deque()
+        results = [None] * len(images)
+        for i, img in enumerate(images):
+            blob, scale, (im_h, im_w) = get_image_blob(img, self.cfg)
+            feat, logits, deltas, token = self._backbone_rpn_chained(
+                self.params, blob, token)
+            gt = gt_boxes_list[i] if gt_boxes_list is not None else None
+            pending.append((i, img, gt, feat, logits, deltas, scale,
+                            (im_h, im_w)))
+            while len(pending) > lookahead:
+                j, out = self._finish(*pending.popleft(), mode=mode)
+                results[j] = out
+        while pending:
+            j, out = self._finish(*pending.popleft(), mode=mode)
+            results[j] = out
+        return results
+
+    # ROI row buckets: one compiled ROI program per bucket, not per count
+    _ROI_BUCKET = 64
+
+    def _finish(self, idx, img_bgr, gt_boxes, feat, logits, deltas, scale,
+                im_hw, mode):
+        cfg = self.cfg
+        im_h, im_w = im_hw
         if mode == 3:
             assert gt_boxes is not None, "mode 3 needs gt bboxes"
             proposals = np.asarray(gt_boxes, np.float32) * scale
@@ -279,13 +379,32 @@ class FeatureExtractor:
             proposals = self._proposals(np.asarray(logits),
                                         np.asarray(deltas), im_h, im_w)
 
-        pooled = native.roi_pool(
-            np.asarray(feat[0]).transpose(2, 0, 1), proposals,
-            spatial_scale=1.0 / cfg.anchor_base,
-            output_size=(cfg.pooler_resolution, cfg.pooler_resolution))
-        pooled = jnp.asarray(pooled.transpose(0, 2, 3, 1))   # [R,ph,pw,C]
-        out = {k: np.asarray(v) for k, v in
-               self._roi_forward(self.params, pooled).items()}
+        R = proposals.shape[0]
+        r_pad = max(self._ROI_BUCKET,
+                    int(np.ceil(R / self._ROI_BUCKET) * self._ROI_BUCKET))
+        rois_pad = np.zeros((r_pad, 4), np.float32)
+        rois_pad[:R] = proposals
+        # quantize bins on the HOST in exact fp32 (XLA fastmath turns x/y
+        # into x·(1/y), which flips ceil() at integer boundaries — see
+        # ops.roi_pool_device); only multiplies run on device
+        ss = np.float32(1.0 / cfg.anchor_base)
+        q = np.floor(rois_pad * ss + np.float32(0.5)).astype(np.int32)
+        x1, y1 = q[:, 0], q[:, 1]
+        roi_w = np.maximum(q[:, 2] - x1 + 1, 1).astype(np.float32)
+        roi_h = np.maximum(q[:, 3] - y1 + 1, 1).astype(np.float32)
+        res = np.float32(cfg.pooler_resolution)
+        dev_out = self._roi_stage(self.params, feat, jnp.asarray(x1),
+                                  jnp.asarray(y1), jnp.asarray(roi_h / res),
+                                  jnp.asarray(roi_w / res))
+        needed = (("cls_prob", "bbox_deltas") if mode == 2
+                  else ("features", "cls_prob", "attr_prob"))
+        out = {k: np.asarray(dev_out[k])[:R] for k in needed}
+        return idx, self._postprocess(img_bgr, out, proposals, scale,
+                                      im_h, im_w, mode)
+
+    def _postprocess(self, img_bgr, out, proposals, scale, im_h, im_w,
+                     mode):
+        cfg = self.cfg
 
         boxes_img = proposals / scale                         # back to image
         if mode == 2:
@@ -295,10 +414,10 @@ class FeatureExtractor:
             # top MAX_BOXES by confidence (no threshold/min)
             cls_prob = out["cls_prob"]
             R, C = cls_prob.shape
-            all_boxes = np.array(jax.vmap(
-                lambda d: decode_boxes(jnp.asarray(proposals), d),
-                in_axes=1, out_axes=1,
-            )(jnp.asarray(out["bbox_deltas"].reshape(R, C, 4))))
+            deltas_rc = out["bbox_deltas"].reshape(R, C, 4)
+            all_boxes = _decode_boxes_np(
+                np.repeat(proposals, C, axis=0),
+                deltas_rc.reshape(R * C, 4)).reshape(R, C, 4)
             all_boxes[..., 0::2] = all_boxes[..., 0::2].clip(0, im_w - 1)
             all_boxes[..., 1::2] = all_boxes[..., 1::2].clip(0, im_h - 1)
             top_cls = cls_prob[:, 1:].argmax(axis=1) + 1
@@ -331,7 +450,21 @@ class FeatureExtractor:
 
     def _max_conf(self, cls_prob: np.ndarray, boxes: np.ndarray) -> np.ndarray:
         """Per-box max confidence surviving per-class NMS (reference
-        utils/extract_utils.py:68-74)."""
+        utils/extract_utils.py:68-74).
+
+        The round-1 hot spot was 1600 per-class host NMS calls
+        (~1.2 s/img of call overhead). Default: ONE native call that
+        shares the IoU matrix across classes (~ms). All implementations
+        are exact-greedy equal to native.nms (tested).
+        """
+        if self.nms_impl == "native_batched":
+            return native.nms_max_conf(boxes, cls_prob,
+                                       self.cfg.test_nms_thresh)
+        if self.nms_impl == "device":
+            from meme_challenge_tpu.ops.nms import max_conf_device
+
+            return max_conf_device(boxes, cls_prob,
+                                   self.cfg.test_nms_thresh)
         n = cls_prob.shape[0]
         max_conf = np.zeros(n, np.float32)
         for cls_idx in range(1, cls_prob.shape[1]):

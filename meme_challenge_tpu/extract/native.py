@@ -49,6 +49,9 @@ def _get_lib() -> ctypes.CDLL:
         lib.nms_f32.restype = ctypes.c_int
         lib.nms_f32.argtypes = [f32p, f32p, ctypes.c_int, ctypes.c_float,
                                 i32p]
+        lib.nms_max_conf_f32.restype = None
+        lib.nms_max_conf_f32.argtypes = [f32p, f32p, ctypes.c_int,
+                                         ctypes.c_int, ctypes.c_float, f32p]
         lib.roi_align_f32.restype = None
         lib.roi_align_f32.argtypes = [
             f32p, ctypes.c_int, ctypes.c_int, ctypes.c_int,
@@ -107,4 +110,19 @@ def roi_pool(feat: np.ndarray, rois: np.ndarray, spatial_scale: float,
     if R:
         _get_lib().roi_pool_f32(feat, C, H, W, rois, R,
                                 float(spatial_scale), ph, pw, out)
+    return out
+
+
+def nms_max_conf(boxes: np.ndarray, cls_prob: np.ndarray,
+                 iou_threshold: float) -> np.ndarray:
+    """Per-box max confidence surviving per-class NMS, all classes in one
+    native call (reference utils/extract_utils.py:68-74 semantics; IoU
+    matrix shared across classes)."""
+    boxes = np.ascontiguousarray(boxes, dtype=np.float32)
+    cls_prob = np.ascontiguousarray(cls_prob, dtype=np.float32)
+    n, num_classes = cls_prob.shape
+    out = np.zeros(n, dtype=np.float32)
+    if n:
+        _get_lib().nms_max_conf_f32(boxes, cls_prob, n, num_classes,
+                                    float(iou_threshold), out)
     return out

@@ -124,3 +124,70 @@ def roi_align_jax(feat: Array, rois: Array, spatial_scale: float,
         return jax.vmap(per_channel)(feat)
 
     return jax.vmap(one_roi)(rois)
+
+
+@partial(jax.jit, static_argnames=("output_size",))
+def _roi_pool_kernel(feat: Array, x1: Array, y1: Array, bin_h: Array,
+                     bin_w: Array, output_size: Tuple[int, int]) -> Array:
+    """Masked two-stage max over precomputed integer bin anchors + fp32 bin
+    sizes. Bin-edge products (py·bin_h) are single fp32 multiplies — safe
+    under XLA fastmath; the division lives on the host (see roi_pool_device:
+    XLA rewrites x/y into x·(1/y), which flips ceil() at exact-integer
+    boundaries and would diverge from the C++ op)."""
+    H, W, C = feat.shape
+    ph, pw = output_size
+    py = jnp.arange(ph, dtype=jnp.float32)
+    px = jnp.arange(pw, dtype=jnp.float32)
+    hs = jnp.clip(y1[:, None] + jnp.floor(
+        py[None] * bin_h[:, None]).astype(jnp.int32), 0, H)   # [R, ph]
+    he = jnp.clip(y1[:, None] + jnp.ceil(
+        (py[None] + 1) * bin_h[:, None]).astype(jnp.int32), 0, H)
+    ws = jnp.clip(x1[:, None] + jnp.floor(
+        px[None] * bin_w[:, None]).astype(jnp.int32), 0, W)   # [R, pw]
+    we = jnp.clip(x1[:, None] + jnp.ceil(
+        (px[None] + 1) * bin_w[:, None]).astype(jnp.int32), 0, W)
+
+    ys = jnp.arange(H)
+    xs = jnp.arange(W)
+    mask_y = (ys[None, None] >= hs[..., None]) & \
+        (ys[None, None] < he[..., None])                      # [R, ph, H]
+    mask_x = (xs[None, None] >= ws[..., None]) & \
+        (xs[None, None] < we[..., None])                      # [R, pw, W]
+
+    neg = jnp.float32(-jnp.inf)
+    # rows: [R, ph, H, 1, 1] mask over feat [H, W, C] → [R, ph, W, C]
+    colmax = jnp.max(
+        jnp.where(mask_y[:, :, :, None, None], feat[None, None], neg),
+        axis=2)
+    # cols: [R, 1, pw, W, 1] mask over colmax [R, ph, W, C] → [R, ph, pw, C]
+    out = jnp.max(
+        jnp.where(mask_x[:, None, :, :, None], colmax[:, :, None], neg),
+        axis=3)
+    empty = (hs >= he)[:, :, None] | (ws >= we)[:, None, :]   # [R, ph, pw]
+    return jnp.where(empty[..., None], 0.0, out)
+
+
+def roi_pool_device(feat: Array, rois, spatial_scale: float,
+                    output_size: Tuple[int, int]) -> Array:
+    """Caffe ROIPool, exact native/bua_ops.cpp:139-174 semantics; the max
+    pooling runs on device (feat never round-trips to the host).
+
+    feat [H, W, C] device array; rois [R, 4] HOST numpy (the proposal stage
+    is host-side anyway). Quantization — round-half-away, +1 box size, the
+    fp32 bin-size division — happens here in numpy so it is bit-identical
+    to the C++ op regardless of XLA fastmath rewrites.
+    """
+    import numpy as np
+
+    ph, pw = output_size
+    rois = np.asarray(rois, np.float32)
+    q = np.floor(rois * np.float32(spatial_scale) + np.float32(0.5)
+                 ).astype(np.int32)
+    x1, y1 = q[:, 0], q[:, 1]
+    roi_w = np.maximum(q[:, 2] - x1 + 1, 1).astype(np.float32)
+    roi_h = np.maximum(q[:, 3] - y1 + 1, 1).astype(np.float32)
+    bin_h = roi_h / np.float32(ph)
+    bin_w = roi_w / np.float32(pw)
+    return _roi_pool_kernel(feat, jnp.asarray(x1), jnp.asarray(y1),
+                            jnp.asarray(bin_h), jnp.asarray(bin_w),
+                            output_size)

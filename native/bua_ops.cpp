@@ -174,3 +174,63 @@ void roi_pool_f32(const float* feat, int C, int H, int W,
 }
 
 }  // extern "C"
+
+// ---------------------------------------------------------------------------
+// Multi-class max-conf NMS: the extraction box-selection hot loop
+// (reference utils/extract_utils.py:68-74) in ONE call. Proposals are
+// class-agnostic, so the pairwise-IoU matrix is computed once and shared by
+// all C-1 foreground classes; per class we run the exact greedy NMS above
+// (stable descending sort, suppress at IoU > threshold) and fold kept
+// scores into a per-box running max. Replaces C-1 ctypes round trips.
+extern "C"
+void nms_max_conf_f32(const float* boxes, const float* cls_prob, int n,
+                      int num_classes, float iou_threshold,
+                      float* max_conf_out) {
+    if (n <= 0) return;
+    std::vector<float> iou((size_t)n * n, 0.f);
+    std::vector<float> areas(n);
+    for (int i = 0; i < n; ++i) {
+        const float* b = boxes + 4 * i;
+        areas[i] = std::max(0.f, b[2] - b[0]) * std::max(0.f, b[3] - b[1]);
+    }
+    for (int i = 0; i < n; ++i) {
+        const float* bi = boxes + 4 * i;
+        for (int j = i + 1; j < n; ++j) {
+            const float* bj = boxes + 4 * j;
+            float xx1 = std::max(bi[0], bj[0]);
+            float yy1 = std::max(bi[1], bj[1]);
+            float xx2 = std::min(bi[2], bj[2]);
+            float yy2 = std::min(bi[3], bj[3]);
+            float w = std::max(0.f, xx2 - xx1);
+            float h = std::max(0.f, yy2 - yy1);
+            float inter = w * h;
+            float v = inter / (areas[i] + areas[j] - inter);
+            iou[(size_t)i * n + j] = v;
+            iou[(size_t)j * n + i] = v;
+        }
+    }
+    for (int i = 0; i < n; ++i) max_conf_out[i] = 0.f;
+    std::vector<int> order(n);
+    std::vector<char> suppressed(n);
+    std::vector<float> scores(n);
+    for (int c = 1; c < num_classes; ++c) {          // col 0 = background
+        for (int i = 0; i < n; ++i)
+            scores[i] = cls_prob[(size_t)i * num_classes + c];
+        for (int i = 0; i < n; ++i) order[i] = i;
+        std::stable_sort(order.begin(), order.end(), [&](int a, int b) {
+            return scores[a] > scores[b];
+        });
+        std::fill(suppressed.begin(), suppressed.end(), 0);
+        for (int oi = 0; oi < n; ++oi) {
+            int i = order[oi];
+            if (suppressed[i]) continue;
+            max_conf_out[i] = std::max(max_conf_out[i], scores[i]);
+            const float* row = iou.data() + (size_t)i * n;
+            for (int oj = oi + 1; oj < n; ++oj) {
+                int j = order[oj];
+                if (!suppressed[j] && row[j] > iou_threshold)
+                    suppressed[j] = 1;
+            }
+        }
+    }
+}

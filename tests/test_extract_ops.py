@@ -158,3 +158,53 @@ def test_roi_pool_max_semantics(rng):
     assert out.shape == (1, 1, 2, 2)
     assert out.max() == 9.0
     assert 7.0 in out  # the two maxima land in different bins
+
+
+def test_device_batched_nms_matches_host_loop(rng):
+    """ops/nms.py device greedy NMS AND the single-call native batched NMS
+    == the per-class native.nms host loop (exact: same stable ordering,
+    IoU>thresh, no-+1 areas)."""
+    from meme_challenge_tpu.extract import native
+    from meme_challenge_tpu.ops.nms import max_conf_device
+
+    R, C = 57, 12
+    boxes = np.abs(rng.randn(R, 4)).astype(np.float32) * 30
+    boxes[:, 2:] = boxes[:, :2] + np.abs(rng.randn(R, 2)).astype(np.float32) * 40 + 1
+    cls_prob = rng.rand(R, C).astype(np.float32)
+    cls_prob /= cls_prob.sum(1, keepdims=True)
+    thresh = 0.3
+
+    host = np.zeros(R, np.float32)
+    for c in range(1, C):
+        keep = native.nms(boxes, cls_prob[:, c], thresh)
+        host[keep] = np.maximum(host[keep], cls_prob[keep, c])
+
+    dev = max_conf_device(boxes, cls_prob, thresh)
+    np.testing.assert_array_equal(dev, host)
+    fast = native.nms_max_conf(boxes, cls_prob, thresh)
+    np.testing.assert_array_equal(fast, host)
+
+
+def test_device_nms_extraction_matches_host_path(rng):
+    """FeatureExtractor with device NMS selects identical boxes/features."""
+    import jax
+
+    from meme_challenge_tpu.extract.detector import (
+        DetectorConfig, FeatureExtractor, init_detector_params)
+
+    cfg = DetectorConfig(num_classes=13, num_attributes=7, min_size=64,
+                         max_size=96, pre_nms_topk=200, post_nms_topk=40,
+                         min_boxes=3, max_boxes=10)
+    params = init_detector_params(cfg, jax.random.PRNGKey(0))
+    img = (rng.rand(70, 90, 3) * 255).astype(np.uint8)
+    outs = {}
+    for impl in ("native_batched", "device", "host_loop"):
+        ex = FeatureExtractor(cfg, params, nms_impl=impl)
+        outs[impl] = ex.extract(img, mode=1)
+    for impl in ("native_batched", "device"):
+        np.testing.assert_array_equal(outs[impl]["bbox"],
+                                      outs["host_loop"]["bbox"])
+        np.testing.assert_array_equal(outs[impl]["x"],
+                                      outs["host_loop"]["x"])
+        np.testing.assert_array_equal(outs[impl]["info"]["objects_id"],
+                                      outs["host_loop"]["info"]["objects_id"])
