@@ -165,3 +165,130 @@ def test_full_detector_train_step(rng):
     assert last_total < first_total, (first_total, last_total)
     assert set(losses) == {"rpn_objectness", "rpn_box", "roi_cls",
                            "roi_box", "roi_attr"}
+
+
+def test_vg_json_loader_and_batches(tmp_path):
+    """COCO-format VG json → records → static-shape train batches that the
+    detector train step consumes end-to-end."""
+    import json
+
+    import jax
+    import optax
+
+    from meme_challenge_tpu.extract.detector import (
+        BUADetector, DetectorConfig, init_detector_params)
+    from meme_challenge_tpu.extract.detector_train import (
+        make_detector_train_step)
+    from meme_challenge_tpu.extract.vg_data import (
+        VGDetectionLoader, load_vg_json)
+
+    rng = np.random.RandomState(0)
+    coco = {
+        "images": [
+            {"id": 2, "file_name": "b.jpg", "height": 60, "width": 80},
+            {"id": 1, "file_name": "a.jpg", "height": 50, "width": 70},
+        ],
+        # non-contiguous category ids -> contiguous remap (load_vg_json.py)
+        "categories": [{"id": 3, "name": "cat"}, {"id": 7, "name": "hat"}],
+        "annotations": [
+            {"id": 10, "image_id": 1, "bbox": [5, 6, 20, 15],
+             "category_id": 3, "attribute": [4, 9]},
+            {"id": 11, "image_id": 1, "bbox": [30, 10, 25, 30],
+             "category_id": 7},
+            {"id": 12, "image_id": 2, "bbox": [2, 2, 40, 30],
+             "category_id": 3, "iscrowd": 1},   # skipped
+            {"id": 13, "image_id": 2, "bbox": [1, 1, 10, 0],
+             "category_id": 7},                 # degenerate, skipped
+        ],
+    }
+    jf = tmp_path / "train.json"
+    jf.write_text(json.dumps(coco))
+    records = load_vg_json(str(jf), str(tmp_path))
+    assert [r["image_id"] for r in records] == [1, 2]
+    assert records[0]["boxes"].shape == (2, 4)
+    np.testing.assert_allclose(records[0]["boxes"][0], [5, 6, 25, 21])
+    assert records[0]["classes"].tolist() == [0, 1]   # remapped
+    assert records[0]["attrs"].tolist() == [3, -1]    # 1-based -> 0-based
+    assert records[1]["boxes"].shape == (0, 4)        # both anns skipped
+
+    cfg = DetectorConfig(num_classes=5, num_attributes=4, min_size=32,
+                         max_size=64, size_divisibility=32)
+    loader = VGDetectionLoader(
+        records, cfg, max_gt=8, is_train=True, seed=1,
+        image_reader=lambda rec: (rng.rand(rec["height"], rec["width"], 3)
+                                  * 255).astype(np.uint8))
+    batches = list(loader)
+    # empty-gt image filtered at train time (dataset_mapper.py:158)
+    assert len(batches) == 1
+    b = batches[0]
+    assert b["images"].ndim == 4 and b["gt_boxes"].shape == (8, 4)
+    assert b["gt_mask"].sum() == 2
+    # boxes scaled into blob coordinates and inside the blob
+    h, w = b["images"].shape[1:3]
+    assert (b["gt_boxes"][b["gt_mask"]] <= max(h, w)).all()
+
+    model = BUADetector(cfg)
+    params = init_detector_params(cfg, jax.random.PRNGKey(0))
+    tx = optax.sgd(1e-3)
+    from meme_challenge_tpu.train.steps import TrainState
+    state = TrainState(params, tx.init(params), 0)
+    step = make_detector_train_step(model, cfg, tx, num_proposals=8)
+    batch = {k: v for k, v in b.items() if k != "image_id"}
+    state, losses = step(state, batch, jax.random.PRNGKey(1))
+    assert all(np.isfinite(float(v)) for v in losses.values()), losses
+
+
+def test_train_detector_cli_end_to_end(tmp_path, monkeypatch):
+    """train_net.py-equivalent CLI: one epoch of VG training + eval-only
+    reload on tiny synthetic data."""
+    import json
+    import os
+
+    from meme_challenge_tpu.extract import train_detector as td
+    from meme_challenge_tpu.extract import vg_data
+
+    rng = np.random.RandomState(3)
+    images, annotations = [], []
+    aid = 0
+    for iid in range(1, 4):
+        images.append({"id": iid, "file_name": f"{iid}.jpg",
+                       "height": 48, "width": 64})
+        for _ in range(2):
+            x, y = rng.randint(0, 30, 2)
+            annotations.append({"id": aid, "image_id": iid,
+                                "bbox": [int(x), int(y), 20, 16],
+                                "category_id": int(rng.randint(1, 4)),
+                                "attribute": [int(rng.randint(1, 3))]})
+            aid += 1
+    coco = {"images": images, "annotations": annotations,
+            "categories": [{"id": i, "name": str(i)} for i in (1, 2, 3)]}
+    jf = tmp_path / "ann.json"
+    jf.write_text(json.dumps(coco))
+
+    fake = lambda rec: (np.random.RandomState(rec["image_id"])
+                        .rand(rec["height"], rec["width"], 3)
+                        * 255).astype(np.uint8)
+    monkeypatch.setattr(vg_data, "_read_image_bgr",
+                        lambda path: fake({"image_id": int(
+                            os.path.basename(path).split(".")[0]),
+                            "height": 48, "width": 64}))
+
+    cfg = td.DetectorConfig(num_classes=4, num_attributes=3, min_size=32,
+                            max_size=64, size_divisibility=32,
+                            pre_nms_topk=50, post_nms_topk=10,
+                            min_boxes=2, max_boxes=5)
+    # drive via the library functions with a small cfg
+    import argparse
+    ns = argparse.Namespace(out_dir=str(tmp_path / "out"), weights="",
+                            epochs=1, lr=1e-3, seed=0, max_gt=8,
+                            num_proposals=8, log_every=100, eval_images=2)
+    os.makedirs(ns.out_dir, exist_ok=True)
+    records = td.load_vg_json(str(jf), str(tmp_path))
+    state = td.train(ns, cfg, records, records[:2], image_reader=fake)
+    ckpt = os.path.join(ns.out_dir, "detector.msgpack")
+    assert os.path.isfile(ckpt)
+
+    metrics = td.evaluate(cfg, state.params, records[:2], image_reader=fake,
+                          max_images=2)
+    assert set(metrics) >= {"mAP", "weighted_mAP"}
+    assert np.isfinite(metrics["mAP"])
