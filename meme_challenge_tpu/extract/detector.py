@@ -70,6 +70,10 @@ class DetectorConfig:
     min_size: int = 600
     max_size: int = 1000
     size_divisibility: int = 64   # pad blobs to multiples -> few XLA shapes
+    # host->device blob transfer dtype. "bfloat16" halves upload bytes over
+    # the relay (compute stays fp32 on device; only the input is quantized,
+    # ~1e-3 relative feature error). "float32" = bit-parity default.
+    blob_transfer_dtype: str = "float32"
 
 
 def make_anchors(cfg: DetectorConfig, feat_h: int, feat_w: int) -> np.ndarray:
@@ -194,6 +198,29 @@ class BUADetector(nn.Module):
 
 # --------------------------------------------------------------------- utils
 
+def _resize_bilinear_np(im: np.ndarray, new_h: int, new_w: int) -> np.ndarray:
+    """Host bilinear resize, cv2.INTER_LINEAR semantics: half-pixel sample
+    centers, edge clamp, no antialiasing (reference utils/extract_utils.py:
+    51-52 resizes the mean-subtracted float image the same way)."""
+    h, w = im.shape[:2]
+    if (new_h, new_w) == (h, w):
+        return np.asarray(im, np.float32)
+    ys = (np.arange(new_h, dtype=np.float64) + 0.5) * (h / new_h) - 0.5
+    xs = (np.arange(new_w, dtype=np.float64) + 0.5) * (w / new_w) - 0.5
+    y0f, x0f = np.floor(ys), np.floor(xs)
+    wy = (ys - y0f).astype(np.float32)[:, None, None]
+    wx = (xs - x0f).astype(np.float32)[None, :, None]
+    y0 = np.clip(y0f, 0, h - 1).astype(np.int64)
+    x0 = np.clip(x0f, 0, w - 1).astype(np.int64)
+    y1 = np.clip(y0f + 1, 0, h - 1).astype(np.int64)
+    x1 = np.clip(x0f + 1, 0, w - 1).astype(np.int64)
+    im = np.asarray(im, np.float32)
+    r0, r1 = im[y0], im[y1]
+    top = r0[:, x0] * (1.0 - wx) + r0[:, x1] * wx
+    bot = r1[:, x0] * (1.0 - wx) + r1[:, x1] * wx
+    return top * (1.0 - wy) + bot * wy
+
+
 def get_image_blob(img_bgr: np.ndarray, cfg: DetectorConfig
                    ) -> Tuple[np.ndarray, float, Tuple[int, int]]:
     """Caffe preprocessing: BGR float − pixel mean, shortest side
@@ -208,9 +235,12 @@ def get_image_blob(img_bgr: np.ndarray, cfg: DetectorConfig
     if scale * max(h, w) > cfg.max_size:
         scale = cfg.max_size / max(h, w)
     new_h, new_w = int(round(h * scale)), int(round(w * scale))
-    # bilinear resize via jax.image on host is fine at this size
-    im = np.asarray(jax.image.resize(jnp.asarray(im), (new_h, new_w, 3),
-                                     method="bilinear"))
+    # pure-host bilinear resize, cv2.INTER_LINEAR convention (half-pixel
+    # centers, no antialias) — matches the reference's cv2.resize
+    # (utils/extract_utils.py:51-52). NEVER route this through jax: the
+    # default device is the remote TPU relay, and an unchained device
+    # resize costs an ~11 MB round trip per image (measured seconds/img).
+    im = _resize_bilinear_np(im, new_h, new_w)
     div = max(cfg.size_divisibility, 1)
     pad_h = -new_h % div
     pad_w = -new_w % div
@@ -268,8 +298,10 @@ class FeatureExtractor:
                 {"params": p}, x, method=BUADetector.roi_forward))
 
         def _bb_chained(p, x, token):
+            # blob may arrive bf16 (cfg.blob_transfer_dtype); compute in fp32
             feat, logits, deltas = self.model.apply(
-                {"params": p}, x, method=BUADetector.backbone_rpn)
+                {"params": p}, x.astype(jnp.float32),
+                method=BUADetector.backbone_rpn)
             feat = feat + token          # token is always 0.0: value no-op,
             out_token = feat[0, 0, 0, 0] * 0.0   # dependency edge for relay
             return feat, logits, deltas, out_token
@@ -350,8 +382,11 @@ class FeatureExtractor:
         token = jnp.zeros((), jnp.float32)
         pending = deque()
         results = [None] * len(images)
+        transfer_dt = jnp.dtype(self.cfg.blob_transfer_dtype)
         for i, img in enumerate(images):
             blob, scale, (im_h, im_w) = get_image_blob(img, self.cfg)
+            if transfer_dt != jnp.float32:
+                blob = blob.astype(transfer_dt)  # host-side cast (ml_dtypes)
             feat, logits, deltas, token = self._backbone_rpn_chained(
                 self.params, blob, token)
             gt = gt_boxes_list[i] if gt_boxes_list is not None else None
