@@ -41,6 +41,12 @@ from meme_challenge_tpu.train.steps import create_train_state, make_train_step
 # Reference-side anchor (memes/sec) for vs_baseline; see BASELINE.md.
 REFERENCE_BASELINE_MEMES_PER_SEC = 200.0
 
+# low-precision STORAGE of the step's largest intermediates (math stays
+# fp32 inside the fusions; tests/test_lowp_paths.py pins numerics) — the
+# same flags --compute_bf16 enables in the train CLIs (+5% measured)
+PERF_STORAGE = dict(attention_score_dtype="bfloat16",
+                    dropout_bits_dtype="uint8")
+
 BATCH = 16
 ACCUM = 2
 T, R = 60, 100
@@ -142,14 +148,14 @@ def _build_finetune(ucfg, batch=BATCH, accum=ACCUM):
 
 
 def bench_headline():
-    ucfg = UniterConfig(dtype="bfloat16")
+    ucfg = UniterConfig(dtype="bfloat16", **PERF_STORAGE)
     _, _, step, state, batch = _build_finetune(ucfg)
     sec = _time_steps(step, state, batch)
     return BATCH * ACCUM / sec
 
 
 def bench_inference_p50():
-    ucfg = UniterConfig(dtype="bfloat16")
+    ucfg = UniterConfig(dtype="bfloat16", **PERF_STORAGE)
     model = MemeUniter(ucfg, n_classes=1)
     rng = np.random.RandomState(0)
     one = jax.tree.map(lambda x: x[0], _finetune_batch(rng, ucfg, BATCH, 1))
@@ -230,7 +236,7 @@ def bench_pretrain():
     from meme_challenge_tpu.models.uniter import UniterForPretraining
     from meme_challenge_tpu.train.pretrain_driver import PretrainTrainer
 
-    ucfg = UniterConfig(dtype="bfloat16")
+    ucfg = UniterConfig(dtype="bfloat16", **PERF_STORAGE)
     model = UniterForPretraining(ucfg)
     B = 16
     rng = np.random.RandomState(0)
@@ -298,7 +304,7 @@ def bench_pretrain():
 
 
 def bench_uniter_large():
-    ucfg = UniterConfig(dtype="bfloat16", hidden_size=1024,
+    ucfg = UniterConfig(dtype="bfloat16", **PERF_STORAGE, hidden_size=1024,
                         num_hidden_layers=24, num_attention_heads=16,
                         intermediate_size=4096)
     _, _, step, state, batch = _build_finetune(ucfg)

@@ -47,6 +47,17 @@ class UniterConfig:
     remat_policy: str = "full"     # "full" | "dots" (save matmul outputs,
                                    # recompute elementwise — cheap remat)
     use_pallas_attention: bool = False  # fused Pallas attention kernel (ops/attention.py)
+    attention_score_dtype: str = "float32"  # storage dtype of the S^2 score/
+                                   # prob tensors on the XLA attention path.
+                                   # "bfloat16" halves the dominant HBM
+                                   # traffic of the step (softmax math stays
+                                   # fp32 inside the fusion; custom VJP keeps
+                                   # the saved residual bf16 too)
+    dropout_bits_dtype: str = "uint32"  # PRNG word width for dropout masks.
+                                   # "uint8" quarters mask-tensor traffic;
+                                   # the keep-threshold quantizes to 1/256
+                                   # (rate 0.1 -> 26/256; the inverse scale
+                                   # uses the exact effective rate)
 
     @property
     def head_dim(self) -> int:

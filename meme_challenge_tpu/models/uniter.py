@@ -65,6 +65,35 @@ def _init(stddev: float):
     return nn.initializers.normal(stddev=stddev)
 
 
+@jax.custom_vjp
+def softmax_lowp(scores: Array) -> Array:
+    """Softmax over the last axis with fp32 math but low-precision storage.
+
+    The S^2 score/probability tensors dominate the train step's HBM traffic
+    (cost analysis: ~5 GB/micro-step fp32 at B16 S160). Storing them in the
+    input's (bf16) dtype halves that; the exp/sum run in fp32 inside the XLA
+    fusion, and the custom VJP keeps the saved residual in bf16 as well
+    (plain jax.nn.softmax would checkpoint the fp32 probabilities).
+    """
+    return jax.nn.softmax(scores.astype(jnp.float32),
+                          axis=-1).astype(scores.dtype)
+
+
+def _softmax_lowp_fwd(scores):
+    p = softmax_lowp(scores)
+    return p, p
+
+
+def _softmax_lowp_bwd(p, g):
+    p32 = p.astype(jnp.float32)
+    g32 = g.astype(jnp.float32)
+    ds = p32 * (g32 - jnp.sum(g32 * p32, axis=-1, keepdims=True))
+    return (ds.astype(p.dtype),)
+
+
+softmax_lowp.defvjp(_softmax_lowp_fwd, _softmax_lowp_bwd)
+
+
 class LayerNorm(nn.LayerNorm):
     """flax LayerNorm pinned to eps 1e-12 (apex FusedLayerNorm parity)."""
 
@@ -249,16 +278,27 @@ class StackedEncoder(nn.Module):
         use_pallas = cfg.use_pallas_attention
         attn_rate = p_attn if (use_dropout and not deterministic) else 0.0
 
+        bits8 = cfg.dropout_bits_dtype == "uint8"
+
         def dropout(x, rng, rate):
             if not use_dropout or rate == 0.0:
                 return x
             # integer-threshold dropout: raw PRNG words compared against
-            # rate·2³² (exact to 2⁻³²) — skips bernoulli's uint→float
-            # conversion over the largest tensors in the step
-            bits = jax.random.bits(rng, x.shape, jnp.uint32)
-            keep = bits >= jnp.uint32(min(int(rate * (1 << 32)),
-                                          (1 << 32) - 1))
-            return jnp.where(keep, x / (1.0 - rate), 0.0).astype(x.dtype)
+            # rate·2^bits — skips bernoulli's uint→float conversion over the
+            # largest tensors in the step. uint8 words quarter the mask
+            # traffic; the threshold then quantizes the rate to k/256 and the
+            # inverse scale uses that exact effective rate (unbiased).
+            if bits8:
+                k = min(int(round(rate * 256)), 255)
+                bits = jax.random.bits(rng, x.shape, jnp.uint8)
+                keep = bits >= jnp.uint8(k)
+                eff = k / 256.0
+            else:
+                k = min(int(rate * (1 << 32)), (1 << 32) - 1)
+                bits = jax.random.bits(rng, x.shape, jnp.uint32)
+                keep = bits >= jnp.uint32(k)
+                eff = rate
+            return jnp.where(keep, x / (1.0 - eff), 0.0).astype(x.dtype)
 
         bias32 = attn_bias.astype(jnp.float32)
 
@@ -287,6 +327,19 @@ class StackedEncoder(nn.Module):
                     seeds = None
                 ctx = fused_attention(q, k, v, bias32, scale, attn_rate,
                                       seeds).astype(dtype)
+            elif cfg.attention_score_dtype == "bfloat16":
+                # bf16 S^2 storage: the cast fuses into the matmul epilogue,
+                # softmax math stays fp32 (softmax_lowp), and the saved
+                # residual + dscores are bf16 — halves the dominant HBM
+                # traffic of the step
+                scores = jnp.einsum(
+                    "bnqd,bnkd->bnqk", q, k,
+                    preferred_element_type=jnp.float32) * scale
+                scores = (scores + bias32).astype(jnp.bfloat16)
+                probs = softmax_lowp(scores).astype(dtype)
+                probs = dropout(probs, r_attn, p_attn)
+                ctx = jnp.einsum("bnqk,bnkd->bnqd", probs, v,
+                                 preferred_element_type=jnp.float32).astype(dtype)
             else:
                 scores = jnp.einsum(
                     "bnqd,bnkd->bnqk", q, k,

@@ -152,7 +152,12 @@ def main(argv=None):
     parser.add_argument("--vocab_file", type=str, required=True,
                         help="BERT vocab.txt (cased)")
     parser.add_argument("--compute_bf16", action="store_true",
-                        help="bfloat16 compute dtype (TPU MXU fast path)")
+                        help="bfloat16 compute dtype (TPU MXU fast path); "
+                             "also enables bf16 attention-score storage and "
+                             "uint8 dropout words (+5%% step throughput)")
+    parser.add_argument("--precise_attention", action="store_true",
+                        help="with --compute_bf16: keep fp32 score storage "
+                             "and uint32 dropout words")
     parser.add_argument("--slow_rng", action="store_true",
                         help="keep the threefry PRNG (default: rbg — "
                              "~8%% faster dropout on TPU)")
@@ -168,6 +173,9 @@ def main(argv=None):
                      if args.uniter_config else UniterConfig())
     if args.compute_bf16:
         uniter_config = uniter_config.replace(dtype="bfloat16")
+        if not args.precise_attention:
+            uniter_config = uniter_config.replace(
+                attention_score_dtype="bfloat16", dropout_bits_dtype="uint8")
 
     os.makedirs(config.model_path, exist_ok=True)
     set_seed(config.seed)

@@ -43,11 +43,18 @@ def main():
     ap.add_argument("--large", action="store_true", help="UNITER-large config")
     ap.add_argument("--unroll", type=int, default=1)
     ap.add_argument("--mu-bf16", action="store_true")
+    ap.add_argument("--score-bf16", action="store_true",
+                    help="bf16 S^2 score/prob storage (softmax math fp32)")
+    ap.add_argument("--drop-bits8", action="store_true",
+                    help="uint8 dropout PRNG words (mask traffic /4)")
     args = ap.parse_args()
 
     kw = dict(dtype="bfloat16", use_pallas_attention=args.pallas,
               remat=(args.remat != "none"), remat_policy=args.remat,
-              scan_unroll=args.unroll)
+              scan_unroll=args.unroll,
+              attention_score_dtype=("bfloat16" if args.score_bf16
+                                     else "float32"),
+              dropout_bits_dtype="uint8" if args.drop_bits8 else "uint32")
     if args.no_dropout:
         kw.update(hidden_dropout_prob=0.0, attention_probs_dropout_prob=0.0)
     if args.large:
