@@ -191,7 +191,8 @@ def bench_text_only():
         MODEL_DICT, TextBackbone, TransformerClassificationHead)
 
     # bert-base backbone, bf16 compute (reference text_based default model)
-    cfg = dataclasses.replace(MODEL_DICT["bert"]["config"], dtype="bfloat16")
+    cfg = dataclasses.replace(MODEL_DICT["bert"]["config"], dtype="bfloat16",
+                              **PERF_STORAGE)
     model = TransformerClassificationHead(
         backbone=TextBackbone(cfg), num_classes=1, dropout=0.5,
         num_layers=1, hidden_dim=512, act="gelu", use_pool_output=True)

@@ -64,6 +64,8 @@ class TextModelConfig:
     shared_layers: bool = False            # albert
     has_pooler: bool = True                # electra: False
     dtype: str = "float32"
+    attention_score_dtype: str = "float32"  # see UniterConfig: bf16 S^2
+    dropout_bits_dtype: str = "uint32"      # storage + uint8 dropout words
 
     def encoder_config(self) -> UniterConfig:
         L = 1 if self.shared_layers else self.num_hidden_layers
@@ -77,7 +79,9 @@ class TextModelConfig:
             hidden_act=self.hidden_act,
             hidden_dropout_prob=self.hidden_dropout_prob,
             attention_probs_dropout_prob=self.attention_probs_dropout_prob,
-            layer_norm_eps=self.layer_norm_eps, dtype=self.dtype)
+            layer_norm_eps=self.layer_norm_eps, dtype=self.dtype,
+            attention_score_dtype=self.attention_score_dtype,
+            dropout_bits_dtype=self.dropout_bits_dtype)
 
 
 # Registry parity: reference MODEL_DICT (text_based/model.py:8-17). The HF
@@ -254,13 +258,21 @@ class TransformerClassificationHead(nn.Module):
 
 
 def build_text_model(name: str, num_classes: int = 1, dropout: float = 0.5,
-                     num_layers: int = 1, hidden_dim: int = 512
+                     num_layers: int = 1, hidden_dim: int = 512,
+                     compute_bf16: bool = False
                      ) -> TransformerClassificationHead:
-    """Registry lookup + head assembly (reference train_pure_text.py:25-41)."""
+    """Registry lookup + head assembly (reference train_pure_text.py:25-41).
+
+    ``compute_bf16`` flips the TPU fast path: bf16 matmuls plus the
+    low-precision storage levers (bf16 S^2 scores, uint8 dropout words)."""
     assert name in MODEL_DICT, (
         "Given model is not known. Please choose between: %s"
         % list(MODEL_DICT.keys()))
     cfg = MODEL_DICT[name]["config"]
+    if compute_bf16:
+        cfg = dataclasses.replace(cfg, dtype="bfloat16",
+                                  attention_score_dtype="bfloat16",
+                                  dropout_bits_dtype="uint8")
     return TransformerClassificationHead(
         backbone=TextBackbone(cfg), num_classes=num_classes,
         num_layers=num_layers, hidden_dim=hidden_dim, dropout=dropout,

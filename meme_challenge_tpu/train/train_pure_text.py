@@ -48,10 +48,11 @@ def _is_head(path) -> bool:
 
 def build_text_entry(config: TrainConfig, model_name: str, vocab_file: str,
                      lr_head: float = 1e-4, num_layers_freeze: int = 0,
-                     max_txt_len: int = 256):
+                     max_txt_len: int = 256, compute_bf16: bool = False):
     """Loader factories + trainer factory for a text-only run."""
     tokenizer = BertTokenizer(vocab_file)
-    model = build_text_model(model_name, num_classes=config.n_classes)
+    model = build_text_model(model_name, num_classes=config.n_classes,
+                             compute_bf16=compute_bf16)
 
     def make_loader(path, sampler=False, return_ids=False):
         if sampler and config.debug:
@@ -102,6 +103,9 @@ def main(argv=None):
     parser.add_argument("--vocab_file", type=str, required=True)
     parser.add_argument("--lr_head", type=float, default=1e-4)
     parser.add_argument("--num_layers_freeze", type=int, default=0)
+    parser.add_argument("--compute_bf16", action="store_true",
+                        help="bfloat16 TPU fast path (incl. bf16 score "
+                             "storage + uint8 dropout words)")
     parser.set_defaults(**PURE_TEXT_DEFAULTS)
     args, _ = parser.parse_known_args(argv)
 
@@ -119,7 +123,7 @@ def main(argv=None):
     loader_funcs, test_loaders, trainer_factory = build_text_entry(
         config, model_name, args.vocab_file, lr_head=args.lr_head,
         num_layers_freeze=args.num_layers_freeze,
-        max_txt_len=config.max_txt_len)
+        max_txt_len=config.max_txt_len, compute_bf16=args.compute_bf16)
     return train_crossval(
         trainer_factory, config, loader_funcs, test_loaders,
         num_folds=config.num_folds, dev_size=config.crossval_dev_size,
