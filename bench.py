@@ -315,20 +315,27 @@ def bench_uniter_large():
 
 def bench_extraction():
     """Detector feature extraction s/img (reference utils/extractor.py logs
-    the same number), mode 1, synthetic 600×800 image, tiny-but-real graph."""
+    the same number), mode 1, synthetic 600×800 images, full R101 graph.
+    Reports every blob-transfer mode: fp32 (bit-parity default), bf16
+    (~2e-4 rel feature err) and uint8 (device mean-sub, <=0.5/255 rounding)."""
+    import dataclasses
+
     from meme_challenge_tpu.extract.detector import (
         DetectorConfig, FeatureExtractor, init_detector_params)
 
-    cfg = DetectorConfig()
     rng = np.random.RandomState(0)
-    params = init_detector_params(cfg, jax.random.PRNGKey(0))
-    ex = FeatureExtractor(cfg, params)
+    params = init_detector_params(DetectorConfig(), jax.random.PRNGKey(0))
     imgs = [(rng.rand(600, 800, 3) * 255).astype(np.uint8)
             for _ in range(8)]
-    ex.extract_batch(imgs[:2])  # compile + warm
-    t0 = time.perf_counter()
-    ex.extract_batch(imgs)
-    return (time.perf_counter() - t0) / len(imgs)
+    out = {}
+    for dt in ("float32", "bfloat16", "uint8"):
+        cfg = dataclasses.replace(DetectorConfig(), blob_transfer_dtype=dt)
+        ex = FeatureExtractor(cfg, params)
+        ex.extract_batch(imgs[:2])  # compile + warm
+        t0 = time.perf_counter()
+        ex.extract_batch(imgs)
+        out[f"blob_{dt}"] = (time.perf_counter() - t0) / len(imgs)
+    return out
 
 
 def main():

@@ -72,7 +72,10 @@ class DetectorConfig:
     size_divisibility: int = 64   # pad blobs to multiples -> few XLA shapes
     # host->device blob transfer dtype. "bfloat16" halves upload bytes over
     # the relay (compute stays fp32 on device; only the input is quantized,
-    # ~1e-3 relative feature error). "float32" = bit-parity default.
+    # ~1e-3 relative feature error). "uint8" quarters them: the RESIZED
+    # image is uploaded pre-mean-subtraction as uint8 and the mean-sub runs
+    # on device (bilinear resize and the constant mean-shift commute, so
+    # only the <=0.5/255 rounding differs). "float32" = bit-parity default.
     blob_transfer_dtype: str = "float32"
 
 
@@ -249,6 +252,32 @@ def get_image_blob(img_bgr: np.ndarray, cfg: DetectorConfig
     return im[None], scale, (new_h, new_w)
 
 
+def get_image_blob_u8(img_bgr: np.ndarray, cfg: DetectorConfig
+                      ) -> Tuple[np.ndarray, float, Tuple[int, int]]:
+    """uint8 transfer variant of :func:`get_image_blob`: resize the RAW
+    image (no mean-sub), round to uint8; the device subtracts the pixel
+    mean (see ``DetectorConfig.blob_transfer_dtype``). Same scale/padding
+    logic; differs from the fp32 blob only by the <=0.5 resize rounding."""
+    h, w = img_bgr.shape[:2]
+    scale = cfg.min_size / min(h, w)
+    if scale * max(h, w) > cfg.max_size:
+        scale = cfg.max_size / max(h, w)
+    new_h, new_w = int(round(h * scale)), int(round(w * scale))
+    im = _resize_bilinear_np(img_bgr.astype(np.float32), new_h, new_w)
+    im = np.clip(np.rint(im), 0, 255).astype(np.uint8)
+    div = max(cfg.size_divisibility, 1)
+    pad_h = -new_h % div
+    pad_w = -new_w % div
+    if pad_h or pad_w:
+        # pad with the rounded pixel mean so padding becomes ~0 after the
+        # on-device mean subtraction (fp32 blobs pad with exact zeros)
+        mean_u8 = tuple(int(round(m)) for m in PIXEL_MEAN_BGR)
+        im = np.stack([np.pad(im[..., c], ((0, pad_h), (0, pad_w)),
+                              constant_values=mean_u8[c])
+                       for c in range(3)], axis=-1)
+    return im[None], scale, (new_h, new_w)
+
+
 def _decode_boxes_np(anchors: np.ndarray, deltas: np.ndarray,
                      weights=(1.0, 1.0, 1.0, 1.0)) -> np.ndarray:
     """Host copy of :func:`decode_boxes` — keeps the proposal stage free of
@@ -298,9 +327,13 @@ class FeatureExtractor:
                 {"params": p}, x, method=BUADetector.roi_forward))
 
         def _bb_chained(p, x, token):
-            # blob may arrive bf16 (cfg.blob_transfer_dtype); compute in fp32
+            # blob may arrive bf16/uint8 (cfg.blob_transfer_dtype);
+            # compute in fp32. uint8 blobs are pre-mean-subtraction.
+            x = x.astype(jnp.float32)
+            if jnp.dtype(self.cfg.blob_transfer_dtype) == jnp.uint8:
+                x = x - jnp.asarray(PIXEL_MEAN_BGR, jnp.float32)
             feat, logits, deltas = self.model.apply(
-                {"params": p}, x.astype(jnp.float32),
+                {"params": p}, x,
                 method=BUADetector.backbone_rpn)
             feat = feat + token          # token is always 0.0: value no-op,
             out_token = feat[0, 0, 0, 0] * 0.0   # dependency edge for relay
@@ -384,9 +417,12 @@ class FeatureExtractor:
         results = [None] * len(images)
         transfer_dt = jnp.dtype(self.cfg.blob_transfer_dtype)
         for i, img in enumerate(images):
-            blob, scale, (im_h, im_w) = get_image_blob(img, self.cfg)
-            if transfer_dt != jnp.float32:
-                blob = blob.astype(transfer_dt)  # host-side cast (ml_dtypes)
+            if transfer_dt == jnp.uint8:
+                blob, scale, (im_h, im_w) = get_image_blob_u8(img, self.cfg)
+            else:
+                blob, scale, (im_h, im_w) = get_image_blob(img, self.cfg)
+                if transfer_dt != jnp.float32:
+                    blob = blob.astype(transfer_dt)  # host cast (ml_dtypes)
             feat, logits, deltas, token = self._backbone_rpn_chained(
                 self.params, blob, token)
             gt = gt_boxes_list[i] if gt_boxes_list is not None else None

@@ -228,3 +228,40 @@ def test_select_boxes_budget(det_params):
     sel3 = extractor._select_boxes(cls_prob, boxes)
     assert len(sel3) == SMALL_CFG.min_boxes
     extractor.cfg = SMALL_CFG
+
+
+@pytest.mark.parametrize("dt,tol", [("bfloat16", 2e-2), ("uint8", 2e-2)])
+def test_blob_transfer_dtypes_match_fp32(det_params, dt, tol):
+    """bf16/uint8 blob transfer produce near-identical features to the fp32
+    parity path (mode 3 pins the ROI set so features are comparable)."""
+    import dataclasses
+
+    rng = np.random.RandomState(2)
+    img = rng.randint(0, 255, (80, 100, 3)).astype(np.uint8)
+    gt = np.array([[5, 5, 60, 60], [20, 10, 90, 70]], np.float32)
+    ref = FeatureExtractor(SMALL_CFG, det_params).extract(
+        img, mode=3, gt_boxes=gt)
+    cfg = dataclasses.replace(SMALL_CFG, blob_transfer_dtype=dt)
+    got = FeatureExtractor(cfg, det_params).extract(img, mode=3, gt_boxes=gt)
+    denom = np.abs(ref["x"]).max() + 1e-9
+    rel = np.abs(got["x"] - ref["x"]).max() / denom
+    assert rel < tol, (dt, rel)
+
+
+def test_get_image_blob_u8_matches_fp32_blob():
+    """uint8 blob + device mean-sub equals the fp32 blob up to rounding."""
+    from meme_challenge_tpu.extract.detector import (
+        PIXEL_MEAN_BGR, get_image_blob, get_image_blob_u8)
+
+    rng = np.random.RandomState(3)
+    img = rng.randint(0, 255, (120, 240, 3)).astype(np.uint8)
+    b32, s32, hw32 = get_image_blob(img, SMALL_CFG)
+    bu8, su8, hwu8 = get_image_blob_u8(img, SMALL_CFG)
+    assert s32 == su8 and hw32 == hwu8
+    assert bu8.dtype == np.uint8
+    recon = bu8.astype(np.float32) - PIXEL_MEAN_BGR
+    th, tw = hw32
+    # true extent: within resize+uint8 rounding; padding: mean-rounding only
+    assert np.abs(recon[:, :th, :tw] - b32[:, :th, :tw]).max() <= 0.5 + 1e-4
+    assert np.abs(recon).max() <= 255.0
+    assert np.abs(recon[:, th:, :]).max() <= 0.5 + 1e-4 if recon.shape[1] > th else True

@@ -115,3 +115,19 @@ def test_score_bf16_encoder_close_to_fp32_scores(rng):
     leaves = jax.tree.leaves(g)
     assert all(np.all(np.isfinite(np.asarray(l))) for l in leaves)
     assert any(np.abs(np.asarray(l)).max() > 0 for l in leaves)
+
+
+def test_softmax_lowp_supports_vmap_and_grad(rng):
+    """fold-parallel vmaps the train step over folds; the custom VJP must
+    compose with vmap+grad."""
+    x = jnp.asarray(rng.randn(4, 2, 3, 8, 8), jnp.bfloat16)  # [F, ...]
+
+    def loss(xi):
+        return jnp.sum(softmax_lowp(xi).astype(jnp.float32) ** 2)
+
+    g = jax.vmap(jax.grad(loss))(x)
+    assert g.shape == x.shape
+    ref = jax.grad(lambda xi: jnp.sum(
+        jax.nn.softmax(xi.astype(jnp.float32), -1) ** 2))(
+            x[0].astype(jnp.float32))
+    assert np.abs(np.asarray(g[0], np.float32) - np.asarray(ref)).max() < 2e-2
