@@ -329,3 +329,34 @@ def find_ensemble(dev_files: List[str], test_files,
             output_dir, test_model_name + "_" + test_name + "_ensemble.csv"))
     return {"score": best_score, "config": best_config,
             "threshold": threshold}
+
+
+def main(argv=None):
+    """Standalone search entry (reference utils/ensemble.py:275-285):
+    glob dev/test prediction CSVs and run the full brute-force + EA search."""
+    import argparse
+    from glob import glob
+
+    parser = argparse.ArgumentParser()
+    parser.add_argument("--regex_dev", type=str, required=True,
+                        help="Glob expression for dev csv files")
+    parser.add_argument("--regex_test", type=str, nargs="+", default=[],
+                        help="Glob expressions for test csv files")
+    parser.add_argument("--max_weights", type=int, default=10000)
+    parser.add_argument("--no_ea", action="store_true",
+                        help="brute-force grid only")
+    args = parser.parse_args(argv)
+
+    dev_files = sorted(glob(args.regex_dev))
+    assert dev_files, f"no dev files match {args.regex_dev}"
+    test_files = [sorted(glob(t)) for t in args.regex_test]
+    return find_ensemble(dev_files, test_files,
+                         max_weights=args.max_weights,
+                         run_ea=not args.no_ea)
+
+
+if __name__ == "__main__":
+    logging.basicConfig(
+        format="%(asctime)s : %(levelname)s - %(message)s",
+        datefmt="%d/%m/%Y %I:%M:%S %p", level=logging.INFO)
+    main()
