@@ -17,6 +17,9 @@ import json
 import os
 import sys
 
+# allow `python examples/quickstart.py` without installing the package
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
 os.environ.setdefault("XLA_FLAGS", "--xla_force_host_platform_device_count=8")
 
 import jax
