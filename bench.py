@@ -107,7 +107,8 @@ def _make_tx(tcfg, params):
                           weight_decay=tcfg.weight_decay,
                           max_grad_norm=tcfg.max_grad_norm,
                           params_example=params,
-                          mu_dtype=tcfg.adam_mu_dtype)
+                          mu_dtype=tcfg.adam_mu_dtype,
+                          nu_dtype=tcfg.adam_nu_dtype)
 
 
 def _time_steps(step, state, batch, steps=TIMED_STEPS, warmup=WARMUP_STEPS):

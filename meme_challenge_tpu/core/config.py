@@ -129,6 +129,10 @@ class TrainConfig:
                                         # halves the largest optimizer-state
                                         # HBM stream (+2% step, measured);
                                         # "float32" for bitwise fp32 moments
+    adam_nu_dtype: str = "float32"      # Adam second-moment storage; bf16
+                                        # saves another ~1.2 GB/step of
+                                        # optimizer traffic (moment math
+                                        # stays fp32, optim.py)
     weight_decay: float = 1e-3
     max_grad_norm: float = 5.0
     gradient_accumulation: int = 1

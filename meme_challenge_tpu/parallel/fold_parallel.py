@@ -97,7 +97,8 @@ class FoldParallelTrainer:
         self.tx = make_optimizer(
             c.optimizer, c.lr, schedule, beta1=c.beta1, beta2=c.beta2,
             weight_decay=c.weight_decay, max_grad_norm=c.max_grad_norm,
-            params_example=params_example, mu_dtype=c.adam_mu_dtype)
+            params_example=params_example, mu_dtype=c.adam_mu_dtype,
+            nu_dtype=c.adam_nu_dtype)
 
         opt_state = jax.vmap(self.tx.init)(params_stacked)
         self.state = TrainState(

@@ -90,6 +90,50 @@ def head_lr_scales(params, base_lr: float, head_lr: float,
     return jax.tree_util.tree_map_with_path(scale_for, params)
 
 
+def scale_by_adam_storage(b1: float, b2: float, eps: float,
+                          mu_dtype, nu_dtype) -> optax.GradientTransformation:
+    """optax.scale_by_adam semantics with independent STORAGE dtypes for
+    both moments. All moment math runs in fp32 (moments are upcast before
+    the EMA update and bias correction, then stored back down), so the only
+    difference from optax is the bf16 rounding of what is written to HBM.
+    Reuses ``optax.ScaleByAdamState`` so checkpointing and
+    ``optax.tree_map_params`` (TP sharding of moments) see the same
+    structure as the stock transform."""
+    mu_dtype = jnp.dtype(mu_dtype) if mu_dtype else None
+    nu_dtype = jnp.dtype(nu_dtype) if nu_dtype else None
+
+    def init(params):
+        mu = jax.tree.map(
+            lambda p: jnp.zeros_like(p, dtype=mu_dtype or p.dtype), params)
+        nu = jax.tree.map(
+            lambda p: jnp.zeros_like(p, dtype=nu_dtype or p.dtype), params)
+        return optax.ScaleByAdamState(
+            count=jnp.zeros([], jnp.int32), mu=mu, nu=nu)
+
+    def update(updates, state, params=None):
+        del params
+        count_inc = state.count + 1
+        c1 = 1.0 - b1 ** count_inc.astype(jnp.float32)
+        c2 = 1.0 - b2 ** count_inc.astype(jnp.float32)
+
+        def one(g, mu, nu):
+            g32 = g.astype(jnp.float32)
+            mu32 = mu.astype(jnp.float32) * b1 + g32 * (1.0 - b1)
+            nu32 = nu.astype(jnp.float32) * b2 + jnp.square(g32) * (1.0 - b2)
+            u = (mu32 / c1) / (jnp.sqrt(nu32 / c2) + eps)
+            return (u.astype(g.dtype),
+                    mu32.astype(mu_dtype or mu.dtype),
+                    nu32.astype(nu_dtype or nu.dtype))
+
+        out = jax.tree.map(one, updates, state.mu, state.nu)
+        u = jax.tree.map(lambda t: t[0], out, is_leaf=lambda t: isinstance(t, tuple))
+        mu = jax.tree.map(lambda t: t[1], out, is_leaf=lambda t: isinstance(t, tuple))
+        nu = jax.tree.map(lambda t: t[2], out, is_leaf=lambda t: isinstance(t, tuple))
+        return u, optax.ScaleByAdamState(count=count_inc, mu=mu, nu=nu)
+
+    return optax.GradientTransformation(init, update)
+
+
 def make_optimizer(
     name: str,
     lr: float,
@@ -103,27 +147,34 @@ def make_optimizer(
     eps: float = 1e-8,
     update_scales=None,
     mu_dtype=None,
+    nu_dtype=None,
 ) -> optax.GradientTransformation:
-    """``mu_dtype``: storage dtype for the Adam/Adamax first moment —
-    ``jnp.bfloat16`` halves optimizer HBM traffic for the largest state
-    tensor (a standard TPU trick; second moment and params stay fp32).
-    Accepts a dtype or a string; "float32"/None keep the fp32 default."""
+    """``mu_dtype``/``nu_dtype``: storage dtypes for the Adam first/second
+    moments — ``jnp.bfloat16`` halves optimizer HBM traffic per moment (a
+    standard TPU trick; moment MATH stays fp32 — see
+    ``scale_by_adam_storage``). Accepts a dtype or a string;
+    "float32"/None keep the fp32 default."""
     if isinstance(mu_dtype, str):
         mu_dtype = None if mu_dtype == "float32" else jnp.dtype(mu_dtype)
+    if isinstance(nu_dtype, str):
+        nu_dtype = None if nu_dtype == "float32" else jnp.dtype(nu_dtype)
     mask = (no_decay_mask(params_example)
             if params_example is not None else None)
     decay = optax.add_decayed_weights(weight_decay, mask=mask) \
         if weight_decay else optax.identity()
 
+    if nu_dtype is not None:
+        adam = scale_by_adam_storage(beta1, beta2, eps, mu_dtype, nu_dtype)
+    else:
+        adam = optax.scale_by_adam(b1=beta1, b2=beta2, eps=eps,
+                                   mu_dtype=mu_dtype)
     if name == "adam":
-        core = [decay, optax.scale_by_adam(b1=beta1, b2=beta2, eps=eps,
-                                           mu_dtype=mu_dtype)]
+        core = [decay, adam]
     elif name == "adamax":
         # torch Adamax defaults (0.9, 0.999), L2 weight decay
         core = [decay, optax.scale_by_adamax(b1=0.9, b2=0.999, eps=eps)]
     elif name == "adamw":
-        core = [optax.scale_by_adam(b1=beta1, b2=beta2, eps=eps,
-                                    mu_dtype=mu_dtype), decay]
+        core = [adam, decay]
     elif name == "sgd":
         # torch SGD(momentum=beta1) (reference optim_utils.py:43-45)
         core = [decay, optax.trace(decay=beta1)] if beta1 else [decay]

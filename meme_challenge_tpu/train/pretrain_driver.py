@@ -103,7 +103,8 @@ class PretrainTrainer:
         self.tx = make_optimizer(
             c.optimizer, c.lr, schedule, beta1=c.beta1, beta2=c.beta2,
             weight_decay=c.weight_decay, max_grad_norm=c.max_grad_norm,
-            params_example=params, mu_dtype=c.adam_mu_dtype)
+            params_example=params, mu_dtype=c.adam_mu_dtype,
+            nu_dtype=c.adam_nu_dtype)
         self.state = create_train_state(params, self.tx)
         self.root_rng = prng_key(c.seed)
         self._task_steps: Dict[str, Callable] = {}

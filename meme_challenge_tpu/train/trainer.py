@@ -106,7 +106,7 @@ class Trainer:
             c.optimizer, c.lr, schedule, beta1=c.beta1, beta2=c.beta2,
             weight_decay=c.weight_decay, max_grad_norm=c.max_grad_norm,
             params_example=params, update_scales=update_scales,
-            mu_dtype=c.adam_mu_dtype)
+            mu_dtype=c.adam_mu_dtype, nu_dtype=c.adam_nu_dtype)
         self.state = create_train_state(params, self.tx)
 
         def model_apply_train(params_, batch, rng):

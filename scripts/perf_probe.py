@@ -43,6 +43,8 @@ def main():
     ap.add_argument("--large", action="store_true", help="UNITER-large config")
     ap.add_argument("--unroll", type=int, default=1)
     ap.add_argument("--mu-bf16", action="store_true")
+    ap.add_argument("--nu-bf16", action="store_true",
+                    help="Adam second moment stored bf16 (fp32 math)")
     ap.add_argument("--score-bf16", action="store_true",
                     help="bf16 S^2 score/prob storage (softmax math fp32)")
     ap.add_argument("--drop-bits8", action="store_true",
@@ -121,7 +123,8 @@ def main():
                         weight_decay=tcfg.weight_decay,
                         max_grad_norm=tcfg.max_grad_norm,
                         params_example=params,
-                        mu_dtype=jnp.bfloat16 if args.mu_bf16 else None)
+                        mu_dtype=jnp.bfloat16 if args.mu_bf16 else None,
+                        nu_dtype=jnp.bfloat16 if args.nu_bf16 else None)
 
     def model_apply_train(params_, batch, rng_):
         return model.apply({"params": params_}, batch, deterministic=False,

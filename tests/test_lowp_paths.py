@@ -131,3 +131,33 @@ def test_softmax_lowp_supports_vmap_and_grad(rng):
         jax.nn.softmax(xi.astype(jnp.float32), -1) ** 2))(
             x[0].astype(jnp.float32))
     assert np.abs(np.asarray(g[0], np.float32) - np.asarray(ref)).max() < 2e-2
+
+
+def test_scale_by_adam_storage_matches_optax(rng):
+    """fp32/fp32 storage reproduces optax.scale_by_adam; bf16 nu storage
+    stays within bf16 rounding of it."""
+    import optax
+    from meme_challenge_tpu.train.optim import scale_by_adam_storage
+
+    params = {"w": jnp.asarray(rng.randn(16, 8), jnp.float32),
+              "b": jnp.asarray(rng.randn(8), jnp.float32)}
+    ref = optax.scale_by_adam(b1=0.9, b2=0.999, eps=1e-8)
+    mine = scale_by_adam_storage(0.9, 0.999, 1e-8, None, None)
+    lowp = scale_by_adam_storage(0.9, 0.999, 1e-8, jnp.bfloat16, jnp.bfloat16)
+    s_ref, s_mine, s_lowp = ref.init(params), mine.init(params), lowp.init(params)
+    for step in range(5):
+        g = jax.tree.map(
+            lambda p: jnp.asarray(rng.randn(*p.shape), jnp.float32) * 0.1,
+            params)
+        u_ref, s_ref = ref.update(g, s_ref, params)
+        u_mine, s_mine = mine.update(g, s_mine, params)
+        u_lowp, s_lowp = lowp.update(g, s_lowp, params)
+        for k in params:
+            np.testing.assert_allclose(np.asarray(u_mine[k]),
+                                       np.asarray(u_ref[k]), atol=1e-6)
+            # bf16 moment storage: ~0.4% relative step error bound
+            np.testing.assert_allclose(np.asarray(u_lowp[k]),
+                                       np.asarray(u_ref[k]), atol=3e-2)
+    # state structure is the stock optax one (checkpoint/TP compatibility)
+    assert isinstance(s_lowp, optax.ScaleByAdamState)
+    assert s_lowp.nu["w"].dtype == jnp.bfloat16
