@@ -47,6 +47,9 @@ class UniterConfig:
     remat_policy: str = "full"     # "full" | "dots" (save matmul outputs,
                                    # recompute elementwise — cheap remat)
     use_pallas_attention: bool = False  # fused Pallas attention kernel (ops/attention.py)
+    pallas_blocked: bool = False   # pair-blocked grid variant of the kernel
+                                   # (32 (b,h) pairs per step instead of one
+                                   # sample; per-block dropout streams)
     attention_score_dtype: str = "float32"  # storage dtype of the S^2 score/
                                    # prob tensors on the XLA attention path.
                                    # "bfloat16" halves the dominant HBM

@@ -318,15 +318,23 @@ class StackedEncoder(nn.Module):
             q, k, v = jnp.split(x @ qkv_kernel + qkv_bias, 3, axis=-1)
             q, k, v = (_split_heads(t, n_heads) for t in (q, k, v))
             if use_pallas:
-                from meme_challenge_tpu.ops.attention import fused_attention
+                from meme_challenge_tpu.ops.attention import (
+                    _largest_block, fused_attention, fused_attention_blocked)
+                if cfg.pallas_blocked:
+                    G = q.shape[0] * n_heads
+                    n_seed = G // _largest_block(G)
+                    kernel = fused_attention_blocked
+                else:
+                    n_seed = q.shape[0]
+                    kernel = fused_attention
                 if attn_rate > 0.0:
                     seeds = jax.random.randint(
-                        r_attn, (q.shape[0],), 0, jnp.iinfo(jnp.int32).max,
+                        r_attn, (n_seed,), 0, jnp.iinfo(jnp.int32).max,
                         dtype=jnp.int32)
                 else:
                     seeds = None
-                ctx = fused_attention(q, k, v, bias32, scale, attn_rate,
-                                      seeds).astype(dtype)
+                ctx = kernel(q, k, v, bias32, scale, attn_rate,
+                             seeds).astype(dtype)
             elif cfg.attention_score_dtype == "bfloat16":
                 # bf16 S^2 storage: the cast fuses into the matmul epilogue,
                 # softmax math stays fp32 (softmax_lowp), and the saved

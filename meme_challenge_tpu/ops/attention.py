@@ -232,6 +232,179 @@ def _bwd_rule(scale, rate, residuals, g):
 fused_attention.defvjp(_fwd_rule, _bwd_rule)
 
 
+# --------------------------------------------------------------------------
+# Pair-blocked variant: flatten (B, H) into one axis and process BLOCK pairs
+# per grid step — fewer, fatter grid steps than the per-sample kernel (e.g.
+# 6 steps of 32 pairs instead of 16 steps of 12 heads at B16/H12), so each
+# step feeds the MXU a bigger batched matmul. Dropout draws one PRNG stream
+# per grid step (seeds are per-block, not per-sample) — a different but
+# equally valid mask distribution, regenerated identically in the backward.
+# --------------------------------------------------------------------------
+
+def _largest_block(g: int, cap: int = 24) -> int:
+    # cap 24: the S=160 backward kernel at block 32 overflows the 16 MB
+    # scoped-VMEM stack by 40 KB (measured on v5e); 24 leaves headroom
+    for b in range(min(cap, g), 0, -1):
+        if g % b == 0:
+            return b
+    return 1
+
+
+def _blk_fwd_kernel(seed_ref, q_ref, k_ref, v_ref, bias_ref, o_ref, *,
+                    scale, rate, interpret):
+    seed = seed_ref[pl.program_id(0)]
+    if rate > 0.0 and not interpret:
+        pltpu.prng_seed(seed)
+    q, k, v = q_ref[...], k_ref[...], v_ref[...]      # [blk, S, D]
+    bias = bias_ref[...]                              # [blk, S]
+    s = jax.lax.dot_general(
+        q, k, (((2,), (2,)), ((0,), (0,))),
+        preferred_element_type=jnp.float32) * scale
+    s = s + bias[:, None, :]                          # broadcast queries
+    m = jnp.max(s, axis=-1, keepdims=True)
+    e = jnp.exp(s - m)
+    p = e / jnp.sum(e, axis=-1, keepdims=True)
+    if rate > 0.0:
+        keep = _keep_mask(p.shape, rate, seed, interpret)
+        p = jnp.where(keep, p * _dropout_scale(rate), 0.0)
+    o = jax.lax.dot_general(
+        p.astype(v.dtype), v, (((2,), (1,)), ((0,), (0,))),
+        preferred_element_type=jnp.float32)
+    o_ref[...] = o.astype(o_ref.dtype)
+
+
+def _blk_bwd_kernel(seed_ref, q_ref, k_ref, v_ref, bias_ref, do_ref,
+                    dq_ref, dk_ref, dv_ref, *, scale, rate, interpret):
+    seed = seed_ref[pl.program_id(0)]
+    if rate > 0.0 and not interpret:
+        pltpu.prng_seed(seed)
+    q, k, v = q_ref[...], k_ref[...], v_ref[...]
+    bias = bias_ref[...]
+    do = do_ref[...]
+    s = jax.lax.dot_general(
+        q, k, (((2,), (2,)), ((0,), (0,))),
+        preferred_element_type=jnp.float32) * scale + bias[:, None, :]
+    m = jnp.max(s, axis=-1, keepdims=True)
+    e = jnp.exp(s - m)
+    p = e / jnp.sum(e, axis=-1, keepdims=True)
+    dp = jax.lax.dot_general(
+        do, v, (((2,), (2,)), ((0,), (0,))),
+        preferred_element_type=jnp.float32)
+    if rate > 0.0:
+        keep = _keep_mask(p.shape, rate, seed, interpret)
+        pd = jnp.where(keep, p * _dropout_scale(rate), 0.0)
+        dp = jnp.where(keep, dp * _dropout_scale(rate), 0.0)
+    else:
+        pd = p
+    dv = jax.lax.dot_general(
+        pd.astype(do.dtype), do, (((1,), (1,)), ((0,), (0,))),
+        preferred_element_type=jnp.float32)
+    ds = (p * (dp - jnp.sum(dp * p, axis=-1, keepdims=True))).astype(q.dtype)
+    dq = jax.lax.dot_general(
+        ds, k, (((2,), (1,)), ((0,), (0,))),
+        preferred_element_type=jnp.float32) * scale
+    dk = jax.lax.dot_general(
+        ds, q, (((1,), (1,)), ((0,), (0,))),
+        preferred_element_type=jnp.float32) * scale
+    dq_ref[...] = dq.astype(dq_ref.dtype)
+    dk_ref[...] = dk.astype(dk_ref.dtype)
+    dv_ref[...] = dv.astype(dv_ref.dtype)
+
+
+def _blk_specs(n_blocks, blk, S, D):
+    seed = pl.BlockSpec((n_blocks,), lambda i: (0,),
+                        memory_space=pltpu.SMEM)
+    pairs = pl.BlockSpec((blk, S, D), lambda i: (i, 0, 0),
+                         memory_space=pltpu.VMEM)
+    bias = pl.BlockSpec((blk, S), lambda i: (i, 0),
+                        memory_space=pltpu.VMEM)
+    return seed, pairs, bias
+
+
+def _blk_flatten(q, k, v, bias):
+    B, H, S, D = q.shape
+    G = B * H
+    qf, kf, vf = (t.reshape(G, S, D) for t in (q, k, v))
+    bias_f = jnp.repeat(bias.astype(jnp.float32).reshape(B, -1)[:, -S:],
+                        H, axis=0)                     # [G, S]
+    return qf, kf, vf, bias_f
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(4, 5))
+def fused_attention_blocked(q: Array, k: Array, v: Array, bias: Array,
+                            scale: float, dropout_rate: float = 0.0,
+                            seeds: Array | None = None) -> Array:
+    """Pair-blocked fused attention; same signature as :func:`fused_attention`
+    except ``seeds`` is per-GRID-STEP ([ceil(B*H/block)] int32)."""
+    return _blk_forward(q, k, v, bias, scale, dropout_rate, seeds)
+
+
+def _blk_seed_arg(n_blocks, seeds):
+    if seeds is None:
+        return jnp.zeros((n_blocks,), jnp.int32)
+    s = seeds.astype(jnp.int32).reshape(-1)
+    assert s.shape[0] >= n_blocks, (s.shape, n_blocks)
+    return s[:n_blocks]
+
+
+def _blk_forward(q, k, v, bias, scale, rate, seeds):
+    B, H, S, D = q.shape
+    G = B * H
+    blk = _largest_block(G)
+    n_blocks = G // blk
+    qf, kf, vf, bias_f = _blk_flatten(q, k, v, bias)
+    seed_spec, pair_spec, bias_spec = _blk_specs(n_blocks, blk, S, D)
+    interpret = _interpret()
+    out = pl.pallas_call(
+        functools.partial(_blk_fwd_kernel, scale=scale, rate=rate,
+                          interpret=interpret),
+        out_shape=jax.ShapeDtypeStruct((G, S, D), q.dtype),
+        grid=(n_blocks,),
+        in_specs=[seed_spec, pair_spec, pair_spec, pair_spec, bias_spec],
+        out_specs=pair_spec,
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("arbitrary",)),
+        interpret=interpret,
+    )(_blk_seed_arg(n_blocks, seeds), qf, kf, vf, bias_f)
+    return out.reshape(B, H, S, D)
+
+
+def _blk_fwd_rule(q, k, v, bias, scale, rate, seeds):
+    return _blk_forward(q, k, v, bias, scale, rate, seeds), (q, k, v, bias,
+                                                             seeds)
+
+
+def _blk_bwd_rule(scale, rate, residuals, g):
+    q, k, v, bias, seeds = residuals
+    B, H, S, D = q.shape
+    G = B * H
+    blk = _largest_block(G)
+    n_blocks = G // blk
+    qf, kf, vf, bias_f = _blk_flatten(q, k, v, bias)
+    gf = g.reshape(G, S, D)
+    seed_spec, pair_spec, bias_spec = _blk_specs(n_blocks, blk, S, D)
+    interpret = _interpret()
+    dq, dk, dv = pl.pallas_call(
+        functools.partial(_blk_bwd_kernel, scale=scale, rate=rate,
+                          interpret=interpret),
+        out_shape=(jax.ShapeDtypeStruct((G, S, D), q.dtype),
+                   jax.ShapeDtypeStruct((G, S, D), k.dtype),
+                   jax.ShapeDtypeStruct((G, S, D), v.dtype)),
+        grid=(n_blocks,),
+        in_specs=[seed_spec, pair_spec, pair_spec, pair_spec, bias_spec,
+                  pair_spec],
+        out_specs=(pair_spec, pair_spec, pair_spec),
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("arbitrary",)),
+        interpret=interpret,
+    )(_blk_seed_arg(n_blocks, seeds), qf, kf, vf, bias_f, gf)
+    rs = lambda t: t.reshape(B, H, S, D)
+    return rs(dq), rs(dk), rs(dv), None, None
+
+
+fused_attention_blocked.defvjp(_blk_fwd_rule, _blk_bwd_rule)
+
+
 def reference_attention(q, k, v, bias, scale):
     """Unfused XLA reference (same math, no dropout) for parity tests."""
     s = jnp.einsum("bhqd,bhkd->bhqk", q.astype(jnp.float32),

@@ -35,6 +35,8 @@ def main():
     ap.add_argument("--batch", type=int, default=16)
     ap.add_argument("--accum", type=int, default=2)
     ap.add_argument("--pallas", action="store_true")
+    ap.add_argument("--pallas-blocked", action="store_true",
+                    help="pair-blocked Pallas kernel (implies --pallas)")
     ap.add_argument("--no-dropout", action="store_true")
     ap.add_argument("--remat", default="none", choices=["none", "full", "dots"])
     ap.add_argument("--steps", type=int, default=30)
@@ -51,7 +53,9 @@ def main():
                     help="uint8 dropout PRNG words (mask traffic /4)")
     args = ap.parse_args()
 
-    kw = dict(dtype="bfloat16", use_pallas_attention=args.pallas,
+    kw = dict(dtype="bfloat16",
+              use_pallas_attention=args.pallas or args.pallas_blocked,
+              pallas_blocked=args.pallas_blocked,
               remat=(args.remat != "none"), remat_policy=args.remat,
               scan_unroll=args.unroll,
               attention_score_dtype=("bfloat16" if args.score_bf16

@@ -199,3 +199,86 @@ def test_encoder_pallas_with_attention_dropout_trains(rng):
     flat = jax.tree_util.tree_leaves(g1)
     assert all(bool(jnp.all(jnp.isfinite(x))) for x in flat)
     assert any(float(jnp.abs(x).max()) > 0 for x in flat)
+
+
+# ---------------------------------------------------------------------------
+# Pair-blocked kernel variant
+# ---------------------------------------------------------------------------
+
+def test_blocked_forward_matches_reference(rng):
+    from meme_challenge_tpu.ops.attention import fused_attention_blocked
+
+    q, k, v, bias = _inputs(rng, B=3, H=4, S=24, D=8)
+    scale = 1.0 / np.sqrt(q.shape[-1])
+    out = fused_attention_blocked(q, k, v, bias, scale)
+    ref = reference_attention(q, k, v, bias, scale)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=2e-5)
+
+
+def test_blocked_gradients_match_reference(rng):
+    from meme_challenge_tpu.ops.attention import fused_attention_blocked
+
+    q, k, v, bias = _inputs(rng, B=2, H=2, S=16, D=8)
+    scale = 1.0 / np.sqrt(q.shape[-1])
+
+    def loss_fused(q, k, v):
+        return jnp.sum(fused_attention_blocked(q, k, v, bias, scale) ** 2)
+
+    def loss_ref(q, k, v):
+        return jnp.sum(reference_attention(q, k, v, bias, scale) ** 2)
+
+    g_fused = jax.grad(loss_fused, argnums=(0, 1, 2))(q, k, v)
+    g_ref = jax.grad(loss_ref, argnums=(0, 1, 2))(q, k, v)
+    for a, b, name in zip(g_fused, g_ref, "qkv"):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=5e-4,
+                                   rtol=1e-3, err_msg=f"d{name}")
+
+
+def test_blocked_dropout_deterministic_and_unbiased(rng):
+    from meme_challenge_tpu.ops.attention import (
+        _largest_block, fused_attention_blocked)
+
+    q, k, v, bias = _inputs(rng, B=2, H=4, S=16, D=8)
+    scale = 1.0 / np.sqrt(q.shape[-1])
+    G = q.shape[0] * q.shape[1]
+    n = G // _largest_block(G)
+    seeds = jnp.arange(7, 7 + n, dtype=jnp.int32)
+    a = fused_attention_blocked(q, k, v, bias, scale, 0.3, seeds)
+    b = fused_attention_blocked(q, k, v, bias, scale, 0.3, seeds)
+    c = fused_attention_blocked(q, k, v, bias, scale, 0.3, seeds + 5)
+    assert bool(jnp.all(a == b))
+    assert bool(jnp.any(a != c))
+    # fwd/bwd regenerate the SAME mask: grads finite and nonzero
+    g = jax.grad(lambda q_: jnp.sum(fused_attention_blocked(
+        q_, k, v, bias, scale, 0.3, seeds) ** 2))(q)
+    assert bool(jnp.all(jnp.isfinite(g))) and float(jnp.abs(g).max()) > 0
+
+
+def test_blocked_encoder_matches_xla(rng):
+    """StackedEncoder with pallas_blocked reproduces the XLA path (no
+    dropout)."""
+    from meme_challenge_tpu.core.config import UniterConfig
+    from meme_challenge_tpu.models.uniter import MemeUniter
+
+    common = dict(vocab_size=64, hidden_size=32, num_hidden_layers=2,
+                  num_attention_heads=2, intermediate_size=64, img_dim=16,
+                  max_position_embeddings=32, hidden_dropout_prob=0.0,
+                  attention_probs_dropout_prob=0.0)
+    m_x = MemeUniter(UniterConfig(**common), n_classes=1)
+    m_p = MemeUniter(UniterConfig(use_pallas_attention=True,
+                                  pallas_blocked=True, **common), n_classes=1)
+    B, T, R = 3, 8, 6
+    batch = {
+        "input_ids": jnp.asarray(rng.randint(0, 64, (B, T)), jnp.int32),
+        "position_ids": jnp.tile(jnp.arange(T, dtype=jnp.int32), (B, 1)),
+        "img_feat": jnp.asarray(rng.randn(B, R, 16), jnp.float32),
+        "img_pos_feat": jnp.asarray(rng.rand(B, R, 7), jnp.float32),
+        "txt_mask": jnp.asarray(
+            np.arange(T)[None] < rng.randint(3, T + 1, B)[:, None],
+            jnp.int32),
+        "img_mask": jnp.ones((B, R), jnp.int32),
+    }
+    params = m_x.init(jax.random.PRNGKey(0), batch, deterministic=True)
+    o_x = np.asarray(m_x.apply(params, batch, deterministic=True))
+    o_p = np.asarray(m_p.apply(params, batch, deterministic=True))
+    np.testing.assert_allclose(o_p, o_x, atol=2e-4, rtol=1e-4)
