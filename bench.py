@@ -232,9 +232,15 @@ def bench_text_only():
 
 
 def bench_pretrain():
-    """MLM / ITM(+IPOT) / MRFR task steps through the pretrain driver's
-    step builder; returns mean memes/s across the three tasks (MetaLoader
-    fixes one task per accumulation group, data/pretrain.py)."""
+    """MLM / ITM(+IPOT) / MRFR / MRC task steps through the pretrain
+    driver's step builder (MetaLoader fixes one task per accumulation
+    group, data/pretrain.py). Each task is guarded by a share of the
+    metric's wall-clock budget, anchored at FUNCTION ENTRY — the budget is
+    set before any model/trainer construction, and the nested SIGALRMs
+    replace the outer one from main(), so the per-metric cap holds even
+    when the remote compile service is slow."""
+    budget_end = time.monotonic() + EXTRA_TIMEOUT_S - 30  # anchor FIRST
+
     from meme_challenge_tpu.models.uniter import UniterForPretraining
     from meme_challenge_tpu.train.pretrain_driver import PretrainTrainer
 
@@ -294,7 +300,6 @@ def bench_pretrain():
     trainer = PretrainTrainer(tcfg, model, params, meta_loader=None,
                               steps_per_epoch=100, ot_weight=0.1)
     rates = {}
-    budget_end = time.monotonic() + EXTRA_TIMEOUT_S - 30  # leave margin
 
     def one_task(task):
         step = trainer._get_task_step(task)

@@ -349,7 +349,11 @@ def main(argv=None):
 
     dev_files = sorted(glob(args.regex_dev))
     assert dev_files, f"no dev files match {args.regex_dev}"
-    test_files = [sorted(glob(t)) for t in args.regex_test]
+    test_files = []
+    for t in args.regex_test:
+        matched = sorted(glob(t))
+        assert matched, f"no test files match {t}"
+        test_files.append(matched)
     return find_ensemble(dev_files, test_files,
                          max_weights=args.max_weights,
                          run_ea=not args.no_ea)

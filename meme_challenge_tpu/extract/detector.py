@@ -224,32 +224,48 @@ def _resize_bilinear_np(im: np.ndarray, new_h: int, new_w: int) -> np.ndarray:
     return top * (1.0 - wy) + bot * wy
 
 
-def get_image_blob(img_bgr: np.ndarray, cfg: DetectorConfig
-                   ) -> Tuple[np.ndarray, float, Tuple[int, int]]:
-    """Caffe preprocessing: BGR float − pixel mean, shortest side
-    ``min_size`` capped at ``max_size`` (reference utils/extract_utils.py:
-    28-57), then zero-padded up to ``size_divisibility`` multiples so a
-    whole corpus compiles to a handful of XLA shapes instead of one per
-    resolution (detectron2 pads the same way). Returns
-    (blob [1, Hp, Wp, 3], scale, (true_h, true_w))."""
-    im = img_bgr.astype(np.float32) - PIXEL_MEAN_BGR
-    h, w = im.shape[:2]
+def _blob_scale(img_shape, cfg: DetectorConfig) -> Tuple[float, int, int]:
+    """Shortest side ``min_size`` capped at ``max_size`` (reference
+    utils/extract_utils.py:28-57) — shared by every blob-transfer mode so
+    the geometry can never desynchronize between them."""
+    h, w = img_shape[:2]
     scale = cfg.min_size / min(h, w)
     if scale * max(h, w) > cfg.max_size:
         scale = cfg.max_size / max(h, w)
-    new_h, new_w = int(round(h * scale)), int(round(w * scale))
+    return scale, int(round(h * scale)), int(round(w * scale))
+
+
+def _pad_divisible(im: np.ndarray, cfg: DetectorConfig,
+                   pad_values=(0, 0, 0)) -> np.ndarray:
+    """Zero-/constant-pad up to ``size_divisibility`` multiples so a whole
+    corpus compiles to a handful of XLA shapes (detectron2 pads the same
+    way)."""
+    div = max(cfg.size_divisibility, 1)
+    pad_h = -im.shape[0] % div
+    pad_w = -im.shape[1] % div
+    if not (pad_h or pad_w):
+        return im
+    if pad_values == (0, 0, 0):
+        return np.pad(im, ((0, pad_h), (0, pad_w), (0, 0)))
+    return np.stack([np.pad(im[..., c], ((0, pad_h), (0, pad_w)),
+                            constant_values=pad_values[c])
+                     for c in range(3)], axis=-1)
+
+
+def get_image_blob(img_bgr: np.ndarray, cfg: DetectorConfig
+                   ) -> Tuple[np.ndarray, float, Tuple[int, int]]:
+    """Caffe preprocessing: BGR float − pixel mean, shortest-side resize
+    (:func:`_blob_scale`), divisibility padding (:func:`_pad_divisible`).
+    Returns (blob [1, Hp, Wp, 3], scale, (true_h, true_w))."""
+    im = img_bgr.astype(np.float32) - PIXEL_MEAN_BGR
+    scale, new_h, new_w = _blob_scale(im.shape, cfg)
     # pure-host bilinear resize, cv2.INTER_LINEAR convention (half-pixel
     # centers, no antialias) — matches the reference's cv2.resize
     # (utils/extract_utils.py:51-52). NEVER route this through jax: the
     # default device is the remote TPU relay, and an unchained device
     # resize costs an ~11 MB round trip per image (measured seconds/img).
     im = _resize_bilinear_np(im, new_h, new_w)
-    div = max(cfg.size_divisibility, 1)
-    pad_h = -new_h % div
-    pad_w = -new_w % div
-    if pad_h or pad_w:
-        im = np.pad(im, ((0, pad_h), (0, pad_w), (0, 0)))
-    return im[None], scale, (new_h, new_w)
+    return _pad_divisible(im, cfg)[None], scale, (new_h, new_w)
 
 
 def get_image_blob_u8(img_bgr: np.ndarray, cfg: DetectorConfig
@@ -257,25 +273,14 @@ def get_image_blob_u8(img_bgr: np.ndarray, cfg: DetectorConfig
     """uint8 transfer variant of :func:`get_image_blob`: resize the RAW
     image (no mean-sub), round to uint8; the device subtracts the pixel
     mean (see ``DetectorConfig.blob_transfer_dtype``). Same scale/padding
-    logic; differs from the fp32 blob only by the <=0.5 resize rounding."""
-    h, w = img_bgr.shape[:2]
-    scale = cfg.min_size / min(h, w)
-    if scale * max(h, w) > cfg.max_size:
-        scale = cfg.max_size / max(h, w)
-    new_h, new_w = int(round(h * scale)), int(round(w * scale))
+    helpers; differs from the fp32 blob only by the <=0.5 resize rounding.
+    Padding uses the rounded pixel mean so it becomes ~0 after the
+    on-device mean subtraction (fp32 blobs pad with exact zeros)."""
+    scale, new_h, new_w = _blob_scale(img_bgr.shape, cfg)
     im = _resize_bilinear_np(img_bgr.astype(np.float32), new_h, new_w)
     im = np.clip(np.rint(im), 0, 255).astype(np.uint8)
-    div = max(cfg.size_divisibility, 1)
-    pad_h = -new_h % div
-    pad_w = -new_w % div
-    if pad_h or pad_w:
-        # pad with the rounded pixel mean so padding becomes ~0 after the
-        # on-device mean subtraction (fp32 blobs pad with exact zeros)
-        mean_u8 = tuple(int(round(m)) for m in PIXEL_MEAN_BGR)
-        im = np.stack([np.pad(im[..., c], ((0, pad_h), (0, pad_w)),
-                              constant_values=mean_u8[c])
-                       for c in range(3)], axis=-1)
-    return im[None], scale, (new_h, new_w)
+    mean_u8 = tuple(int(round(m)) for m in PIXEL_MEAN_BGR)
+    return _pad_divisible(im, cfg, mean_u8)[None], scale, (new_h, new_w)
 
 
 def _decode_boxes_np(anchors: np.ndarray, deltas: np.ndarray,
@@ -319,13 +324,6 @@ class FeatureExtractor:
         self.model = BUADetector(cfg)
         self.params = params
         self.nms_impl = nms_impl
-        self._backbone_rpn = jax.jit(
-            lambda p, x: self.model.apply(
-                {"params": p}, x, method=BUADetector.backbone_rpn))
-        self._roi_forward = jax.jit(
-            lambda p, x: self.model.apply(
-                {"params": p}, x, method=BUADetector.roi_forward))
-
         def _bb_chained(p, x, token):
             # blob may arrive bf16/uint8 (cfg.blob_transfer_dtype);
             # compute in fp32. uint8 blobs are pre-mean-subtraction.
@@ -340,13 +338,6 @@ class FeatureExtractor:
             return feat, logits, deltas, out_token
 
         self._backbone_rpn_chained = jax.jit(_bb_chained)
-
-        def _roi_chained(p, pooled, token):
-            out = self.model.apply({"params": p}, pooled + token,
-                                   method=BUADetector.roi_forward)
-            return out
-
-        self._roi_forward_chained = jax.jit(_roi_chained)
 
         def _roi_stage(p, feat, x1, y1, bin_h, bin_w):
             # device ROIPool (exact Caffe bins, extract/ops.py) + ROI heads

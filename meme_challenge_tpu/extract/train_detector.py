@@ -47,11 +47,35 @@ from meme_challenge_tpu.train.steps import TrainState
 logger = logging.getLogger("meme_challenge_tpu.extract.train_detector")
 
 
+def load_weights(weights_path: str, cfg: DetectorConfig, seed: int = 0):
+    """Load detector params from a torch ``.pth``/``.pt`` (Caffe-converted,
+    via the key-layout converter) or a flax ``.msgpack`` checkpoint — the
+    single source of truth for both ``train`` and ``--eval-only``."""
+    params = init_detector_params(cfg, jax.random.PRNGKey(seed))
+    if not weights_path:
+        return params
+    if weights_path.endswith((".pth", ".pt")):
+        from meme_challenge_tpu.extract.convert_detector import (
+            detector_params_from_torch,
+        )
+
+        return detector_params_from_torch(weights_path, cfg)
+    return ModelSaver(weights_path).load(params)
+
+
 def evaluate(cfg: DetectorConfig, params, records, image_reader=None,
-             max_images: int = 0):
+             max_images: int = 0, extractor: FeatureExtractor = None):
     """Run detection (mode 2: boxes + class scores) and score with the
-    VGEvaluator-parity metrics."""
-    ex = FeatureExtractor(cfg, params)
+    VGEvaluator-parity metrics.
+
+    Pass ``extractor`` to reuse compiled programs across calls (per-epoch
+    eval would otherwise pay a full backbone recompile each time); its
+    params are updated in place."""
+    if extractor is None:
+        extractor = FeatureExtractor(cfg, params)
+    else:
+        extractor.params = params
+    ex = extractor
     loader = VGDetectionLoader(records, cfg, is_train=False,
                                image_reader=image_reader)
     preds, gts = [], []
@@ -74,16 +98,7 @@ def train(args, cfg: DetectorConfig, records, val_records,
           image_reader=None):
     model = BUADetector(cfg)
     saver = ModelSaver(os.path.join(args.out_dir, "detector.msgpack"))
-    params = init_detector_params(cfg, jax.random.PRNGKey(args.seed))
-    if args.weights:
-        if args.weights.endswith((".pth", ".pt")):
-            from meme_challenge_tpu.extract.convert_detector import (
-                detector_params_from_torch,
-            )
-
-            params = detector_params_from_torch(args.weights, cfg)
-        else:
-            params = ModelSaver(args.weights).load(params)
+    params = load_weights(args.weights, cfg, seed=args.seed)
     tx = optax.chain(optax.clip_by_global_norm(5.0),
                      optax.sgd(args.lr, momentum=0.9))
     state = TrainState(params, tx.init(params), np.int32(0))
@@ -93,6 +108,7 @@ def train(args, cfg: DetectorConfig, records, val_records,
                                is_train=True, seed=args.seed,
                                image_reader=image_reader)
     root = jax.random.PRNGKey(args.seed)
+    eval_ex = FeatureExtractor(cfg, state.params) if val_records else None
     it = 0
     t0 = time.time()
     for epoch in range(1, args.epochs + 1):
@@ -109,7 +125,8 @@ def train(args, cfg: DetectorConfig, records, val_records,
         if val_records:
             metrics = evaluate(cfg, state.params, val_records,
                                image_reader=image_reader,
-                               max_images=args.eval_images)
+                               max_images=args.eval_images,
+                               extractor=eval_ex)
             logger.info("epoch %d: mAP@0.5 %.4f weighted %.4f", epoch,
                         metrics["mAP"], metrics["weighted_mAP"])
     return state
@@ -141,15 +158,7 @@ def main(argv=None):
                    if args.val_json else [])
     if args.eval_only:
         assert args.weights, "--eval-only needs --weights"
-        params = init_detector_params(cfg, jax.random.PRNGKey(args.seed))
-        if args.weights.endswith((".pth", ".pt")):
-            from meme_challenge_tpu.extract.convert_detector import (
-                detector_params_from_torch,
-            )
-
-            params = detector_params_from_torch(args.weights, cfg)
-        else:
-            params = ModelSaver(args.weights).load(params)
+        params = load_weights(args.weights, cfg, seed=args.seed)
         metrics = evaluate(cfg, params, val_records,
                            max_images=args.eval_images)
         logger.info("eval: %s", {k: v for k, v in metrics.items()

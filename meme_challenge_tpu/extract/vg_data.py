@@ -65,7 +65,13 @@ def load_vg_json(json_file: str, image_root: str) -> List[dict]:
             if w <= 0 or h <= 0:
                 continue
             boxes.append([x, y, x + w, y + h])
-            classes.append(id_map.get(a["category_id"], a["category_id"]))
+            if a["category_id"] not in id_map:
+                # silent fallback to the raw id would emit out-of-range
+                # class labels that the one-hot CE quietly trains to zeros
+                raise ValueError(
+                    f"annotation {a.get('id')} references category_id "
+                    f"{a['category_id']} absent from the categories table")
+            classes.append(id_map[a["category_id"]])
             attr = a.get("attribute") or []
             attrs.append(int(attr[0]) - 1 if attr else -1)
         records.append({

@@ -27,6 +27,7 @@ from __future__ import annotations
 import json
 import logging
 import os
+import random
 import time
 from typing import Callable, Dict, List, Optional
 
@@ -268,6 +269,11 @@ class FoldParallelTrainer:
         there after every epoch (kill-and-resume via ``load_checkpoint``)."""
         c = self.config
         start = time.time()
+        if bool(self.done.all()):
+            # resumed a run whose folds all early-stopped — nothing to train
+            logger.info("[fold-parallel] all %i folds already done; "
+                        "skipping training", self.num_folds)
+            return self.fold_val_metrics
         for epoch in range(self.start_epoch, c.max_epoch + 1):
             losses = []
             for device_batch in self._fold_device_batches():
@@ -385,10 +391,21 @@ class FoldParallelTrainer:
         with open(tmp, "wb") as f:
             f.write(serialization.to_bytes(payload))
         os.replace(tmp, path)  # atomic: a kill mid-write keeps the old file
-        # best-epoch metric dicts ride in a JSON sidecar (ragged/typed —
-        # not a fixed-shape pytree)
+        # best-epoch metric dicts + HOST RNG states ride in a JSON sidecar
+        # (ragged/typed — not a fixed-shape pytree). The host RNGs drive
+        # BatchLoader shuffling (random.shuffle) and numpy sampling; without
+        # them a resumed run would consume a different batch order than the
+        # uninterrupted one.
+        py_state = random.getstate()
+        np_state = np.random.get_state()
         with open(path + ".meta.json.tmp", "w") as f:
-            json.dump({"fold_val_metrics": self.fold_val_metrics}, f)
+            json.dump({
+                "fold_val_metrics": self.fold_val_metrics,
+                "py_rng": [py_state[0], list(py_state[1]), py_state[2]],
+                "np_rng": [np_state[0], np.asarray(np_state[1]).tolist(),
+                           int(np_state[2]), int(np_state[3]),
+                           float(np_state[4])],
+            }, f)
         os.replace(path + ".meta.json.tmp", path + ".meta.json")
 
     def load_checkpoint(self, path: str) -> None:
@@ -417,7 +434,15 @@ class FoldParallelTrainer:
         meta = path + ".meta.json"
         if os.path.isfile(meta):
             with open(meta) as f:
-                self.fold_val_metrics = json.load(f)["fold_val_metrics"]
+                m = json.load(f)
+            self.fold_val_metrics = m["fold_val_metrics"]
+            if "py_rng" in m:  # restore host RNG streams (batch shuffling)
+                v, st, gauss = m["py_rng"]
+                random.setstate((v, tuple(st), gauss))
+            if "np_rng" in m:
+                name, keys, pos, has_g, cached = m["np_rng"]
+                np.random.set_state((name, np.asarray(keys, np.uint32),
+                                     pos, has_g, cached))
         if self.mesh is not None:
             self._shard_state()
 
