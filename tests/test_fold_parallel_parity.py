@@ -159,3 +159,54 @@ def test_fold_parallel_cycles_unequal_folds(setup):
     steps = np.asarray(par.state.step)
     # both folds took max-length steps (fold B cycled)
     assert steps[0] == steps[1] == len(train_a)
+
+
+def test_fold_parallel_kill_and_resume_with_shuffle(setup, tmp_path):
+    """Kill-and-resume with shuffle_data=True loaders: the checkpoint
+    sidecar carries the HOST RNG states (random/np.random drive
+    BatchLoader shuffling), so the resumed run consumes the SAME shuffled
+    batch order as the uninterrupted one."""
+    model, cfg, _ = setup
+    cfg = cfg.replace(max_epoch=4)
+    ck = str(tmp_path / "driver_state_shuf.msgpack")
+
+    # rebuild loaders with shuffling on (the fixture's are shuffle-off)
+    import glob as _glob
+    vocab = _glob.glob(os.path.join(os.path.dirname(cfg.feature_path),
+                                    "**", "vocab.txt"), recursive=True)
+    vocab += _glob.glob(os.path.join(cfg.data_path, "**", "vocab.txt"),
+                        recursive=True)
+    tok = BertTokenizer(vocab[0])
+    kwargs = dict(feature_dir=cfg.feature_path, tokenizer=tok,
+                  max_txt_len=12, max_bb=16, img_dim=32)
+
+    def loaders():
+        train = BatchLoader(MemeDataset(
+            os.path.join(cfg.data_path, "train.jsonl"), **kwargs), 8,
+            shuffle_data=True)
+        val = BatchLoader(MemeDataset(
+            os.path.join(cfg.data_path, "dev_seen.jsonl"), **kwargs), 8)
+        return train, val
+
+    def build(max_epoch):
+        set_seed(cfg.seed)
+        train_l, val_l = loaders()
+        params = _init_params(model, cfg, val_l)
+        stacked = jax.tree.map(lambda x: np.asarray(x)[None], params)
+        return FoldParallelTrainer(cfg.replace(max_epoch=max_epoch), model,
+                                   stacked, [train_l], [val_l])
+
+    full = build(4)
+    full_metrics = full.train_main()[0]
+
+    part = build(4)
+    part.config = part.config.replace(max_epoch=2)
+    part.train_main(checkpoint_path=ck)
+
+    resumed = build(4)  # fresh process stand-in: re-seeds host RNG
+    resumed.load_checkpoint(ck)  # restores params AND host RNG streams
+    resumed_metrics = resumed.train_main()[0]
+
+    for key in ("aucroc", "accuracy", "loss"):
+        assert abs(resumed_metrics[key] - full_metrics[key]) < 1e-6, (
+            key, resumed_metrics[key], full_metrics[key])
