@@ -21,7 +21,8 @@ in static-shape form:
   compacted target rows).
 - **MRC** — *extension*: the reference ships the MRC head
   (model/pretrain.py:205-233) but no dataset; here detector classes
-  (``objects``/``objects_conf``) become one-hot-confidence soft labels.
+  (``objects``) become hard one-hot label targets (index 0 = background
+  reserved; MemeDataset keeps only the class ids, not the confidences).
 - **MetaLoader** (pretrain_meme_dataset.py:21-58): infinite random task
   sampling over named loaders with optional ratios, task held fixed for
   ``accum_steps``.
@@ -138,10 +139,12 @@ class ITMBatcher:
         n = len(ds)
         for row, idx in enumerate(indices):
             if random.random() < self.replace_prob:
+                # O(1) rejection sampling (uniform over != idx with a
+                # different text) — building the full candidate list per
+                # draw was O(corpus) on the host input path
                 while True:
-                    rand_idx = random.choice(
-                        [i for i in range(n) if i != idx])
-                    if ds.texts[idx] != ds.texts[rand_idx]:
+                    rand_idx = random.randrange(n)
+                    if rand_idx != idx and ds.texts[idx] != ds.texts[rand_idx]:
                         break
                 input_ids[row] = ds.input_ids[rand_idx]
                 txt_mask[row] = ds.txt_mask[rand_idx]
@@ -181,7 +184,8 @@ class MRFRBatcher:
 
 
 class MRCBatcher:
-    """Region-classification soft labels from detector outputs (extension —
+    """Region-classification HARD one-hot targets from detector class ids
+    (extension —
     the reference has the head but no data path; SURVEY.md §2 quirks)."""
 
     def __init__(self, dataset: MemeDataset, mask_prob: float = 0.15,

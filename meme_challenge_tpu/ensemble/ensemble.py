@@ -314,7 +314,16 @@ def find_ensemble(dev_files: List[str], test_files,
         tbase = os.path.basename(test_list[0])
         test_name = "_".join(tbase.rsplit("_", 3)[-3:-1])
         test_model_name = tbase.rsplit("_", 5)[0]
+        # REFERENCE PARITY: test CSVs are stacked positionally WITHOUT
+        # align_ids (utils/ensemble.py:97-101 does the same) — per-fold
+        # test exports always share row order because they come from the
+        # same loader; a length mismatch means stale/foreign files matched
+        # the glob, which should fail loudly rather than mis-average.
         test_preds = [load_predictions(f) for f in test_list]
+        lens = {len(d["proba"]) for d in test_preds}
+        assert len(lens) == 1, (
+            f"test prediction files for {test_name} have mismatched "
+            f"lengths {sorted(lens)} — stale files matching the glob?")
         preds = create_ensemble_prediction(
             [d["proba"] for d in test_preds],
             best_config["weights"], best_config["on_logits"])

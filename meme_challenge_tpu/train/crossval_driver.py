@@ -121,19 +121,23 @@ def train_crossval(
 
         if run_ensemble:
             base_path = os.path.join(config.model_path, base_name + "_fold_*")
-            all_test_loaders = (original_test_loaders
-                                + ([data_loader_funcs["test"](test_sets[0])]
-                                   if use_dev_set and test_sets else []))
-            dev_names = sorted(t.dataset.name for t in all_test_loaders
-                               if t.dataset.name.startswith("dev"))
+            # only the dataset NAMES are needed here — deriving the extra
+            # use_dev_set name from its file path (exactly how MemeDataset
+            # derives .name) avoids re-tokenizing and preloading a whole
+            # test dataset just to read one string
+            all_names = [t.dataset.name for t in original_test_loaders]
+            if use_dev_set and test_sets:
+                all_names.append(
+                    test_sets[0].split("/")[-1].split(".")[0])
+            dev_names = sorted(n for n in all_names if n.startswith("dev"))
             if not dev_names:
                 logger.warning("Skipping ensemble: no dev predictions found")
             else:
                 if not use_dev_set:
                     dev_files = sorted(
                         glob(base_path + "_%s_preds.csv" % dev_names[0]))
-                    test_names = [t.dataset.name for t in all_test_loaders
-                                  if t.dataset.name != dev_names[0]]
+                    test_names = [n for n in all_names
+                                  if n != dev_names[0]]
                 else:
                     dev_files = sorted(
                         glob(base_path + "_dev_seen_??_preds.csv"))

@@ -171,7 +171,9 @@ def make_optimizer(
     if name == "adam":
         core = [decay, adam]
     elif name == "adamax":
-        # torch Adamax defaults (0.9, 0.999), L2 weight decay
+        # torch Adamax DEFAULTS (0.9, 0.999) regardless of beta1/beta2 —
+        # REFERENCE PARITY: optim_utils.py:36-45 constructs Adamax without
+        # passing betas, so the reference ignores configured betas too
         core = [decay, optax.scale_by_adamax(b1=0.9, b2=0.999, eps=eps)]
     elif name == "adamw":
         core = [adam, decay]

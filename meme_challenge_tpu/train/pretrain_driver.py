@@ -43,19 +43,30 @@ def _task_loss(model: UniterForPretraining, params, batch, task: str,
     """Scalar loss for one task micro-batch (masked means)."""
     variables = {"params": params}
     rngs = {"dropout": rng}
+    # every task weights by sample_mask: TaskLoader pads the final batch by
+    # repeating sample 0, and unmasked padding would train extra copies of
+    # that sample (the reference's DataLoader shrinks the last batch instead)
+    sm = batch["sample_mask"].astype(jnp.float32)
     if task == "mlm":
         nll, mask = model.apply(variables, batch, "mlm", deterministic=False,
                                 rngs=rngs)
-        return jnp.sum(nll) / jnp.maximum(jnp.sum(mask), 1.0)
+        w = mask * sm[:, None]
+        return jnp.sum(nll * sm[:, None]) / jnp.maximum(jnp.sum(w), 1.0)
     if task == "mrfr":
         err, mask = model.apply(variables, batch, "mrfr",
                                 deterministic=False, rngs=rngs)
-        denom = jnp.maximum(jnp.sum(mask) * err.shape[-1], 1.0)
-        return jnp.sum(err) / denom
+        w = mask.astype(jnp.float32) * sm[:, None]
+        denom = jnp.maximum(jnp.sum(w) * err.shape[-1], 1.0)
+        return jnp.sum(err * sm[:, None, None]) / denom
     if task.startswith("mrc"):
         loss, mask = model.apply(variables, batch, task, deterministic=False,
                                  rngs=rngs)
-        return jnp.sum(loss) / jnp.maximum(jnp.sum(mask), 1.0)
+        w = mask.astype(jnp.float32) * sm[:, None]
+        if loss.ndim == 3:   # mrc-kl returns per-(region, class) losses
+            loss = loss * sm[:, None, None]
+        else:
+            loss = loss * sm[:, None]
+        return jnp.sum(loss) / jnp.maximum(jnp.sum(w), 1.0)
     if task == "itm":
         # one encoder pass serves both the ITM CE and the OT alignment term
         scores, seq = model.apply(

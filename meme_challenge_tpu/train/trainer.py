@@ -173,25 +173,32 @@ class Trainer:
         start = time.time()
         for epoch in range(1, c.max_epoch + 1):
             epoch_probs, epoch_labels, epoch_masks, losses = [], [], [], []
-            iter_times = []
-            t0 = time.time()
+            epoch_start = time.time()
+            n_steps = 0
             for device_batch in self._device_batches(self.train_loader):
                 step_rng = jax.random.fold_in(
                     self.root_rng, int(self.state.step))
                 self.state, out = self.train_step(
                     self.state, device_batch, step_rng)
-                losses.append(np.asarray(out["loss"]))
-                epoch_probs.append(np.asarray(out["probs"]))
-                epoch_labels.append(np.asarray(device_batch["labels"]))
-                epoch_masks.append(np.asarray(device_batch["sample_mask"]))
-                iter_times.append(time.time() - t0)
-                t0 = time.time()
+                # keep DEVICE arrays in-flight — a per-step np.asarray would
+                # force a host sync every iteration and serialize host batch
+                # prep with device compute (the outputs are tiny [accum, B]
+                # buffers); everything is fetched once after the epoch
+                losses.append(out["loss"])
+                epoch_probs.append(out["probs"])
+                epoch_labels.append(device_batch["labels"])
+                epoch_masks.append(device_batch["sample_mask"])
+                n_steps += 1
                 self.total_iters += c.gradient_accumulation
-            if iter_times:
+            if losses:
+                losses = [np.asarray(x) for x in losses]        # sync point
+                epoch_probs = [np.asarray(x) for x in epoch_probs]
+                epoch_labels = [np.asarray(x) for x in epoch_labels]
+                epoch_masks = [np.asarray(x) for x in epoch_masks]
                 self.scalars.append(("Stats/time_per_train_iter",
                                      self.total_iters,
-                                     float(np.mean(iter_times))
-                                     / c.gradient_accumulation))
+                                     (time.time() - epoch_start)
+                                     / (n_steps * c.gradient_accumulation)))
                 lr_factor = float(self.schedule(int(self.state.step)))
                 self.scalars.append(("Stats/learning_rate", self.total_iters,
                                      c.lr * lr_factor))
@@ -345,6 +352,10 @@ class Trainer:
                 val_ids = np.zeros_like(val_labels) - 1
             binary = bool(np.all((val_labels == 0) | (val_labels == 1)))
             if binary:
+                # NOTE: the dev CSV below exports labels at threshold 0.5
+                # while test exports use the optimal threshold — REFERENCE
+                # PARITY (train_template.py:187 default + :305 calls
+                # export_val_predictions() without passing the threshold).
                 threshold = find_optimal_threshold(val_probs, val_labels,
                                                    metric="accuracy")
                 logger.info("Optimal threshold on validation: %.4f",
