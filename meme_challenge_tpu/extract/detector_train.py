@@ -142,7 +142,10 @@ def roi_losses(
     best_gt = jnp.argmax(iou, axis=1)
     best_iou = jnp.max(iou, axis=1)
     fg = best_iou >= fg_iou
-    labels = jnp.where(fg, gt_classes[best_gt], 0)   # background 0
+    # vg_data emits 0-BASED foreground classes; the 1601-way head reserves
+    # column 0 for background, so shift by +1 to match how extraction/eval
+    # decode predictions (cls_prob[:, 1:].argmax -> class k-1)
+    labels = jnp.where(fg, gt_classes[best_gt] + 1, 0)   # background 0
     match_labels = jnp.where(fg, 1, 0)
     weights = subsample_labels(match_labels, rng, batch_size,
                                positive_fraction)
@@ -160,10 +163,12 @@ def roi_losses(
     fg_w = fg.astype(jnp.float32) * weights
     box_loss = jnp.sum(smooth_l1(picked - targets).sum(-1) * fg_w
                        ) / jnp.maximum(jnp.sum(weights), 1.0)
-    # attributes on fg with annotations (gt_attrs −1 = none)
+    # attributes on fg with annotations (gt_attrs −1 = none). Same +1
+    # shift: the 401-way head reserves column 0 for "no attribute" and the
+    # decoders read attr_prob[:, 1:].argmax -> attribute j-1
     attr_target = gt_attrs[best_gt]
     has_attr = (attr_target >= 0) & fg
-    safe_attr = jnp.where(has_attr, attr_target, 0)
+    safe_attr = jnp.where(has_attr, attr_target + 1, 0)
     alogp = jax.nn.log_softmax(attr_logits.astype(jnp.float32), -1)
     attr_w = has_attr.astype(jnp.float32) * weights
     attr_loss = -jnp.sum(
@@ -214,14 +219,16 @@ def make_detector_train_step(model, cfg, tx, num_proposals: int = 64,
         losses = rpn_losses(anchors, fg_logit, flat_deltas,
                             batch["gt_boxes"], batch["gt_mask"], r_rpn)
 
-        # static proposal set: gt ⊕ jittered gt, tiled to num_proposals
-        G = batch["gt_boxes"].shape[0]
-        reps = -(-num_proposals // G)
-        base = jnp.tile(batch["gt_boxes"], (reps, 1))[:num_proposals]
-        wh = jnp.tile(
-            jnp.stack([batch["gt_boxes"][:, 2] - batch["gt_boxes"][:, 0],
-                       batch["gt_boxes"][:, 3] - batch["gt_boxes"][:, 1]],
-                      axis=1), (reps, 1))[:num_proposals]
+        # static proposal set: gt ⊕ jittered gt, cycled over the VALID gt
+        # rows only — tiling the padded array would make every padding row
+        # a degenerate [0,0,0,0] proposal that dominates background
+        # sampling (valid-first stable order, index modulo n_valid)
+        order = jnp.argsort(~batch["gt_mask"], stable=True)
+        n_valid = jnp.maximum(jnp.sum(batch["gt_mask"]), 1)
+        sel = order[jnp.arange(num_proposals) % n_valid]
+        base = batch["gt_boxes"][sel]
+        wh = jnp.stack([base[:, 2] - base[:, 0],
+                        base[:, 3] - base[:, 1]], axis=1)
         noise = jax.random.uniform(r_jit, (num_proposals, 4),
                                    minval=-jitter, maxval=jitter)
         proposals = base + noise * jnp.concatenate([wh, wh], axis=1)

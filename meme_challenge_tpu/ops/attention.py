@@ -77,7 +77,7 @@ def _keep_mask(shape, rate: float, seed, interpret: bool):
     return bits >= threshold
 
 
-def _softmax_fwd(q, k, v, bias, scale, rate, seed, interpret):
+def _softmax_fwd(q, k, bias, scale, rate, seed, interpret):
     """Shared fwd math: q/k/v [H, S, D] fp32, bias [1, S] fp32."""
     s = jax.lax.dot_general(
         q, k, (((2,), (2,)), ((0,), (0,))),
@@ -104,7 +104,7 @@ def _fwd_kernel(seed_ref, q_ref, k_ref, v_ref, bias_ref, o_ref, *,
     k = k_ref[0]                                       # MXU takes bf16 in,
     v = v_ref[0]                                       # accumulates fp32
     bias = bias_ref[0, 0]                              # [1, S] fp32
-    p = _softmax_fwd(q, k, v, bias, scale, rate, seed, interpret)
+    p = _softmax_fwd(q, k, bias, scale, rate, seed, interpret)
     o = jax.lax.dot_general(
         p.astype(v.dtype), v, (((2,), (1,)), ((0,), (0,))),
         preferred_element_type=jnp.float32)            # [H, S, D]

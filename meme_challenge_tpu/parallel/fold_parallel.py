@@ -241,7 +241,11 @@ class FoldParallelTrainer:
         starve the mesh.
         """
         accum = self.config.gradient_accumulation
-        steps = max(max(len(l) for l in self.train_loaders) // accum, 1)
+        # ceil: a trailing partial accumulation group still runs (the
+        # cycling iterators top it up) — flooring would silently drop
+        # max_len %% accum micro-batches per epoch, diverging from the
+        # sequential trainer which pads its final group
+        steps = max(-(-max(len(l) for l in self.train_loaders) // accum), 1)
         iters = [iter(l) for l in self.train_loaders]
 
         def next_micro(f):
@@ -275,13 +279,14 @@ class FoldParallelTrainer:
                         "skipping training", self.num_folds)
             return self.fold_val_metrics
         for epoch in range(self.start_epoch, c.max_epoch + 1):
-            losses = []
+            # no per-step fetch: a per-step np.asarray would sync the host
+            # against every dispatched step and serialize batch assembly
+            # with device compute (the loss values were never consumed)
             for device_batch in self._fold_device_batches():
                 fold_rngs = jax.vmap(jax.random.fold_in)(
                     self.fold_roots, self.state.step)
                 self.state, out = self._train_step(
                     self.state, device_batch, fold_rngs)
-                losses.append(np.asarray(out["loss"]))
 
             metrics_per_fold = self.eval_folds()
             self._early_stopping_update(metrics_per_fold)
@@ -451,8 +456,10 @@ class FoldParallelTrainer:
     def best_fold_params(self, fold_idx: int):
         return jax.tree.map(lambda x: x[fold_idx], self.best_params)
 
-    def predict_folds(self, loaders: List) -> List[np.ndarray]:
-        """Per-fold probabilities over per-fold loaders using best params."""
+    def predict_folds(self, loaders: List):
+        """Per-fold (probabilities, ids) over per-fold loaders using best
+        params. Returns ``(probs_per_fold, ids_per_fold)`` — two lists of
+        per-fold arrays."""
         saved = self.state
         self.state = self.state._replace(params=self.best_params)
         try:

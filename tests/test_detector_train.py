@@ -76,7 +76,7 @@ def test_losses_trainable_end_to_end(rng):
     fixed target configuration (losses decrease substantially)."""
     import optax
 
-    N, G, C, A = 64, 4, 11, 5
+    N, G, C, A = 64, 4, 11, 6   # attr head: ids 0..4 -> cols 1..5
     anchors = jnp.asarray(
         np.concatenate([rng.rand(N, 2) * 80,
                         rng.rand(N, 2) * 40 + 90], 1).astype(np.float32))
@@ -138,7 +138,7 @@ def test_full_detector_train_step(rng):
     )
     from meme_challenge_tpu.train.steps import TrainState
 
-    cfg = DetectorConfig(depth=101, num_classes=7, num_attributes=5,
+    cfg = DetectorConfig(depth=101, num_classes=7, num_attributes=6,
                          pooler_resolution=7, min_size=64, max_size=96)
     model = BUADetector(cfg)
     params = init_detector_params(cfg, jax.random.PRNGKey(0),
@@ -211,7 +211,7 @@ def test_vg_json_loader_and_batches(tmp_path):
     assert records[0]["attrs"].tolist() == [3, -1]    # 1-based -> 0-based
     assert records[1]["boxes"].shape == (0, 4)        # both anns skipped
 
-    cfg = DetectorConfig(num_classes=5, num_attributes=4, min_size=32,
+    cfg = DetectorConfig(num_classes=5, num_attributes=5, min_size=32,
                          max_size=64, size_divisibility=32)
     loader = VGDetectionLoader(
         records, cfg, max_gt=8, is_train=True, seed=1,
