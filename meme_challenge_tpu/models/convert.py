@@ -113,12 +113,18 @@ def uniter_trunk_params_from_torch(
         return np.ascontiguousarray(np.stack(mats, axis=0))
 
     encoder = {
-        "q_kernel": stack("encoder.layer.{}.attention.self.query.weight", True),
-        "q_bias": stack("encoder.layer.{}.attention.self.query.bias"),
-        "k_kernel": stack("encoder.layer.{}.attention.self.key.weight", True),
-        "k_bias": stack("encoder.layer.{}.attention.self.key.bias"),
-        "v_kernel": stack("encoder.layer.{}.attention.self.value.weight", True),
-        "v_bias": stack("encoder.layer.{}.attention.self.value.bias"),
+        # [q|k|v] concatenated on the output axis (StackedEncoder stores QKV
+        # as one [L, H, 3H] kernel; the torch layout stays per-matrix)
+        "qkv_kernel": np.ascontiguousarray(np.concatenate([
+            stack("encoder.layer.{}.attention.self.query.weight", True),
+            stack("encoder.layer.{}.attention.self.key.weight", True),
+            stack("encoder.layer.{}.attention.self.value.weight", True),
+        ], axis=-1)),
+        "qkv_bias": np.ascontiguousarray(np.concatenate([
+            stack("encoder.layer.{}.attention.self.query.bias"),
+            stack("encoder.layer.{}.attention.self.key.bias"),
+            stack("encoder.layer.{}.attention.self.value.bias"),
+        ], axis=-1)),
         "attn_out_kernel": stack(
             "encoder.layer.{}.attention.output.dense.weight", True),
         "attn_out_bias": stack("encoder.layer.{}.attention.output.dense.bias"),
@@ -318,12 +324,16 @@ def hf_text_backbone_params(
             return np.ascontiguousarray(m[None])
 
         out["encoder"] = {
-            "q_kernel": stack1("attention.query.weight", True),
-            "q_bias": stack1("attention.query.bias"),
-            "k_kernel": stack1("attention.key.weight", True),
-            "k_bias": stack1("attention.key.bias"),
-            "v_kernel": stack1("attention.value.weight", True),
-            "v_bias": stack1("attention.value.bias"),
+            "qkv_kernel": np.ascontiguousarray(np.concatenate([
+                stack1("attention.query.weight", True),
+                stack1("attention.key.weight", True),
+                stack1("attention.value.weight", True),
+            ], axis=-1)),
+            "qkv_bias": np.ascontiguousarray(np.concatenate([
+                stack1("attention.query.bias"),
+                stack1("attention.key.bias"),
+                stack1("attention.value.bias"),
+            ], axis=-1)),
             "attn_out_kernel": stack1("attention.dense.weight", True),
             "attn_out_bias": stack1("attention.dense.bias"),
             "attn_ln_scale": stack1("attention.LayerNorm.weight"),
@@ -346,15 +356,16 @@ def hf_text_backbone_params(
             return np.ascontiguousarray(np.stack(mats, axis=0))
 
         out["encoder"] = {
-            "q_kernel": stack("encoder.layer.{}.attention.self.query.weight",
-                              True),
-            "q_bias": stack("encoder.layer.{}.attention.self.query.bias"),
-            "k_kernel": stack("encoder.layer.{}.attention.self.key.weight",
-                              True),
-            "k_bias": stack("encoder.layer.{}.attention.self.key.bias"),
-            "v_kernel": stack("encoder.layer.{}.attention.self.value.weight",
-                              True),
-            "v_bias": stack("encoder.layer.{}.attention.self.value.bias"),
+            "qkv_kernel": np.ascontiguousarray(np.concatenate([
+                stack("encoder.layer.{}.attention.self.query.weight", True),
+                stack("encoder.layer.{}.attention.self.key.weight", True),
+                stack("encoder.layer.{}.attention.self.value.weight", True),
+            ], axis=-1)),
+            "qkv_bias": np.ascontiguousarray(np.concatenate([
+                stack("encoder.layer.{}.attention.self.query.bias"),
+                stack("encoder.layer.{}.attention.self.key.bias"),
+                stack("encoder.layer.{}.attention.self.value.bias"),
+            ], axis=-1)),
             "attn_out_kernel": stack(
                 "encoder.layer.{}.attention.output.dense.weight", True),
             "attn_out_bias": stack(
@@ -420,6 +431,11 @@ def uniter_trunk_params_to_torch(params: Mapping, prefix: str = "") -> Dict[str,
         img["mask_embedding"])
 
     enc = {k: np.asarray(v) for k, v in params["encoder"].items()}
+    # un-concatenate [q|k|v] back into the reference's per-matrix layout
+    qk, kk, vk = np.split(enc.pop("qkv_kernel"), 3, axis=-1)
+    qb, kb, vb = np.split(enc.pop("qkv_bias"), 3, axis=-1)
+    enc.update({"q_kernel": qk, "k_kernel": kk, "v_kernel": vk,
+                "q_bias": qb, "k_bias": kb, "v_bias": vb})
     L = enc["q_kernel"].shape[0]
     per_layer = {
         "attention.self.query.weight": ("q_kernel", True),

@@ -245,12 +245,13 @@ class StackedEncoder(nn.Module):
             return self.param(name, f, shape, jnp.float32)
 
         stacked = {
-            "q_kernel": p("q_kernel", (L, H, H), ini),
-            "q_bias": p("q_bias", (L, H), zeros),
-            "k_kernel": p("k_kernel", (L, H, H), ini),
-            "k_bias": p("k_bias", (L, H), zeros),
-            "v_kernel": p("v_kernel", (L, H, H), ini),
-            "v_bias": p("v_bias", (L, H), zeros),
+            # Q/K/V stored PRE-CONCATENATED as one [L, H, 3H] parameter
+            # (layout [q|k|v] on the last axis): the hot loop issues a single
+            # wide matmul without rebuilding [H,3H] from three [H,H] reads
+            # every layer call. The converter keeps the reference's per-matrix
+            # torch layout on both import and export (models/convert.py).
+            "qkv_kernel": p("qkv_kernel", (L, H, 3 * H), ini),
+            "qkv_bias": p("qkv_bias", (L, 3 * H), zeros),
             "attn_out_kernel": p("attn_out_kernel", (L, H, H), ini),
             "attn_out_bias": p("attn_out_bias", (L, H), zeros),
             "attn_ln_scale": p("attn_ln_scale", (L, H), ones),
@@ -308,13 +309,9 @@ class StackedEncoder(nn.Module):
             else:
                 r_attn = r_ao = r_ffn = None
             # one wide [H, 3H] matmul for Q/K/V — bigger MXU tile than three
-            # [H, H] launches; weights are concatenated in-trace (cheap, the
-            # converter's per-matrix layout is unchanged)
-            qkv_kernel = jnp.concatenate(
-                [lp["q_kernel"], lp["k_kernel"], lp["v_kernel"]],
-                axis=-1).astype(dtype)
-            qkv_bias = jnp.concatenate(
-                [lp["q_bias"], lp["k_bias"], lp["v_bias"]]).astype(dtype)
+            # [H, H] launches; the weights live pre-concatenated in HBM
+            qkv_kernel = lp["qkv_kernel"].astype(dtype)
+            qkv_bias = lp["qkv_bias"].astype(dtype)
             q, k, v = jnp.split(x @ qkv_kernel + qkv_bias, 3, axis=-1)
             q, k, v = (_split_heads(t, n_heads) for t in (q, k, v))
             if use_pallas:

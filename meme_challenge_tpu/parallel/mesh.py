@@ -76,13 +76,16 @@ def encoder_tp_spec(name: str, model_axis: str = "model") -> P:
     sharded).
 
     - QKV / FFN-in kernels ``[L, H, out]``: split the *output* dim (column).
+      The QKV kernel is stored pre-concatenated ``[L, H, 3H]`` ([q|k|v]);
+      GSPMD keeps the post-matmul ``split`` correct under any shard count
+      (it reshards when a cut point lands mid-shard, e.g. model=2).
     - attn-out / FFN-out kernels ``[L, in, H]``: split the *input* dim (row).
     - biases of column-split kernels: split; row-split biases + LN params:
       replicated.
     """
-    col_kernels = {"q_kernel", "k_kernel", "v_kernel", "ffn_in_kernel"}
+    col_kernels = {"qkv_kernel", "ffn_in_kernel"}
     row_kernels = {"attn_out_kernel", "ffn_out_kernel"}
-    col_biases = {"q_bias", "k_bias", "v_bias", "ffn_in_bias"}
+    col_biases = {"qkv_bias", "ffn_in_bias"}
     if name in col_kernels:
         return P(None, None, model_axis)
     if name in row_kernels:

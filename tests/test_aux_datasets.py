@@ -145,10 +145,10 @@ def test_pure_text_trainer_end_to_end(tmp_path, vocab_file):
     trainer = Trainer(cfg, model, params, train, val, [],
                       update_scales=scales)
     p_before = np.asarray(
-        trainer.state.params["backbone"]["encoder"]["q_kernel"]).copy()
+        trainer.state.params["backbone"]["encoder"]["qkv_kernel"]).copy()
     trainer.train_main()
     p_after = np.asarray(
-        trainer.state.params["backbone"]["encoder"]["q_kernel"])
+        trainer.state.params["backbone"]["encoder"]["qkv_kernel"])
     # frozen layer 0 unchanged; layer 1 trained
     np.testing.assert_array_equal(p_before[0], p_after[0])
     assert not np.allclose(p_before[1], p_after[1])

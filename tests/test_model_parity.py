@@ -262,7 +262,7 @@ def test_uniter_large_config_shapes():
                            deterministic=True))
     p = shapes["params"]
     enc = p["uniter"]["encoder"]
-    assert enc["q_kernel"].shape == (24, 1024, 1024)
+    assert enc["qkv_kernel"].shape == (24, 1024, 3072)
     assert enc["ffn_in_kernel"].shape == (24, 1024, 4096)
     assert p["uniter"]["embeddings"]["word_embeddings"].shape == (28996, 1024)
     total = sum(int(np.prod(l.shape)) for l in jax.tree.leaves(p))

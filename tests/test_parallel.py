@@ -120,7 +120,7 @@ def test_tp_sharding_preserves_forward(synth):
     out = np.asarray(fwd(sharded, batch))
     np.testing.assert_allclose(out, ref, atol=1e-5)
     # the encoder kernels really are sharded over the model axis
-    q = sharded["uniter"]["encoder"]["q_kernel"]
+    q = sharded["uniter"]["encoder"]["qkv_kernel"]
     assert q.sharding.spec == P(None, None, "model")
 
 
@@ -176,14 +176,14 @@ def test_fold_data_model_3axis_training(synth, tmp_path):
     trainer = FoldParallelTrainer(cfg, model, params_stacked,
                                   train_loaders, val_loaders, mesh=mesh)
     # encoder column kernel [F, L, H, out] must be sharded on fold AND model
-    enc = trainer.state.params["uniter"]["encoder"]["q_kernel"]
+    enc = trainer.state.params["uniter"]["encoder"]["qkv_kernel"]
     spec = enc.sharding.spec
     assert spec[0] == "fold" and "model" in tuple(spec), spec
     # adam moments follow the param specs (tree_map_params path)
     import optax
 
     mus = optax.tree_utils.tree_get(trainer.state.opt_state, "mu")
-    mu_spec = mus["uniter"]["encoder"]["q_kernel"].sharding.spec
+    mu_spec = mus["uniter"]["encoder"]["qkv_kernel"].sharding.spec
     assert "model" in tuple(mu_spec), mu_spec
 
     fold_metrics = trainer.train_main()

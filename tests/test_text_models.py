@@ -116,7 +116,7 @@ def test_albert_shared_layers_param_count():
     params = bb.init(jax.random.PRNGKey(0),
                      jnp.ones((2, 8), jnp.int32),
                      jnp.ones((2, 8), jnp.int32))["params"]
-    assert params["encoder"]["q_kernel"].shape == (1, 32, 32)
+    assert params["encoder"]["qkv_kernel"].shape == (1, 32, 96)
     assert params["word_embeddings"].shape == (100, 16)
     assert params["emb_proj"]["kernel"].shape == (16, 32)
     # depth actually applied: output differs from a 1-pass run

@@ -88,13 +88,13 @@ def test_optimizer_decay_mask():
     from meme_challenge_tpu.train.optim import no_decay_mask
 
     params = {
-        "encoder": {"q_kernel": np.zeros(2), "q_bias": np.zeros(2),
+        "encoder": {"qkv_kernel": np.zeros(2), "qkv_bias": np.zeros(2),
                     "attn_ln_scale": np.zeros(2), "attn_ln_bias": np.zeros(2)},
         "pooler": {"dense": {"kernel": np.zeros(2), "bias": np.zeros(2)}},
     }
     mask = no_decay_mask(params)
-    assert mask["encoder"]["q_kernel"] is True
-    assert mask["encoder"]["q_bias"] is False
+    assert mask["encoder"]["qkv_kernel"] is True
+    assert mask["encoder"]["qkv_bias"] is False
     assert mask["encoder"]["attn_ln_scale"] is False
     assert mask["encoder"]["attn_ln_bias"] is False
     assert mask["pooler"]["dense"]["kernel"] is True
