@@ -224,6 +224,10 @@ class Trainer:
             self.val_metrics, self.val_loss = self.eval_model(self.val_loader)
             self.scalars.append(("Stats/time_validation", self.total_iters,
                                  time.time() - val_t0))
+            # reference scalar names (utils/utils.py:25-60)
+            self.scalars.append(("Train/Epoch_Loss", self.total_iters,
+                                 self.train_loss))
+            self.scalars.append(("Validation/Loss", epoch, self.val_loss))
             for k, v in self.val_metrics.items():
                 self.scalars.append((f"Validation/{k}", epoch, v))
             for k, v in self.train_metrics.items():
