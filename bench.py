@@ -53,6 +53,7 @@ T, R = 60, 100
 WARMUP_STEPS = 3
 TIMED_STEPS = 30
 EXTRA_TIMEOUT_S = 420  # per extra metric; remote compiles can stall
+PRETRAIN_TIMEOUT_S = EXTRA_TIMEOUT_S + 180  # 4 task compiles + driver loop
 
 
 class _Timeout(Exception):
@@ -239,7 +240,7 @@ def bench_pretrain():
     set before any model/trainer construction, and the nested SIGALRMs
     replace the outer one from main(), so the per-metric cap holds even
     when the remote compile service is slow."""
-    budget_end = time.monotonic() + EXTRA_TIMEOUT_S - 30  # anchor FIRST
+    budget_end = time.monotonic() + PRETRAIN_TIMEOUT_S - 30  # anchor FIRST
 
     from meme_challenge_tpu.models.uniter import UniterForPretraining
     from meme_challenge_tpu.train.pretrain_driver import PretrainTrainer
@@ -328,6 +329,48 @@ def bench_pretrain():
                 max(30, int(budget_end - time.monotonic())))
         except _Timeout:
             rates[task] = "timeout"
+
+    def driver_loop():
+        """The full PretrainTrainer.train loop (host MLM masking + batch
+        stacking + logging syncs), not just the jitted step — the de-synced
+        loop should land within ~10% of the step-only mlm rate."""
+        import random as _random
+
+        from meme_challenge_tpu.data.pretrain import mask_tokens_bert
+
+        base = base_micro()
+        special = (0, 101, 102)
+
+        def mlm_stream():
+            while True:
+                m = dict(base)
+                ids = m["input_ids"].copy()
+                labels = np.full_like(ids, -1)
+                for i in range(B):
+                    ids[i], labels[i] = mask_tokens_bert(
+                        base["input_ids"][i], base["txt_mask"][i], _random,
+                        0.15, 103, (999, ucfg.vocab_size), special)
+                m["input_ids"] = ids
+                m["txt_labels"] = labels
+                yield ("mlm", m)
+
+        trainer.meta_loader = mlm_stream()
+        trainer.train(total_steps=2, log_every=100,
+                      save_checkpoint=False)  # warm (mlm step already jitted)
+        n = 15
+        t0 = time.perf_counter()
+        trainer.train(total_steps=n, log_every=100, save_checkpoint=False)
+        return B * ACCUM * n / (time.perf_counter() - t0)
+
+    if isinstance(rates.get("mlm"), float) and \
+            time.monotonic() < budget_end - 45:
+        try:
+            rates["mlm_driver_loop"] = _with_timeout(
+                driver_loop, max(30, int(budget_end - time.monotonic())))
+        except _Timeout:
+            rates["mlm_driver_loop"] = "timeout"
+    else:
+        rates["mlm_driver_loop"] = "skipped: bench time budget"
     return rates
 
 
@@ -336,7 +379,7 @@ def bench_uniter_large():
                         num_hidden_layers=24, num_attention_heads=16,
                         intermediate_size=4096)
     _, _, step, state, batch = _build_finetune(ucfg)
-    sec = _time_steps(step, state, batch, steps=15)
+    sec = _time_steps(step, state, batch, steps=15, warmup=2)
     return BATCH * ACCUM / sec
 
 
@@ -368,19 +411,30 @@ def bench_extraction():
 def main():
     headline = bench_headline()
     extras = {}
-    for name, fn in [
-        ("inference_ms_batch16", bench_inference_p50),
-        ("text_only_bert_memes_per_sec", bench_text_only),
-        ("pretrain_memes_per_sec_by_task", bench_pretrain),
-        ("uniter_large_memes_per_sec", bench_uniter_large),
-        ("extraction_sec_per_img", bench_extraction),
+    # (name, fn, budget_s, retries): UNITER-large gets a dedicated larger
+    # budget — its 24-layer remote compile blew the default 420 s window in
+    # one capture — plus one retry: the remote compile service caches by HLO
+    # hash server-side, so a retry after a timed-out compile usually lands
+    # on the warm entry. (JAX's persistent compilation cache is a no-op on
+    # this backend: the axon PJRT client doesn't serialize executables.)
+    for name, fn, budget, retries in [
+        ("inference_ms_batch16", bench_inference_p50, EXTRA_TIMEOUT_S, 0),
+        ("text_only_bert_memes_per_sec", bench_text_only, EXTRA_TIMEOUT_S, 0),
+        ("pretrain_memes_per_sec_by_task", bench_pretrain,
+         EXTRA_TIMEOUT_S + 180, 0),
+        ("uniter_large_memes_per_sec", bench_uniter_large, 600, 1),
+        ("extraction_sec_per_img", bench_extraction, EXTRA_TIMEOUT_S, 0),
     ]:
-        try:
-            extras[name] = jax.tree.map(
-                lambda v: v if isinstance(v, str) else round(float(v), 3),
-                _with_timeout(fn))
-        except Exception as e:  # noqa: BLE001 — report, don't sink the run
-            extras[name] = f"error: {type(e).__name__}: {e}"[:200]
+        for attempt in range(retries + 1):
+            try:
+                extras[name] = jax.tree.map(
+                    lambda v: v if isinstance(v, str) else round(float(v), 3),
+                    _with_timeout(fn, budget))
+                break
+            except Exception as e:  # noqa: BLE001 — report, don't sink the run
+                extras[name] = f"error: {type(e).__name__}: {e}"[:200]
+                if not isinstance(e, _Timeout):
+                    break
 
     print(json.dumps({
         "metric": "memes_per_sec_per_chip_uniter_base_finetune",

@@ -48,8 +48,10 @@ class UniterConfig:
                                    # recompute elementwise — cheap remat)
     use_pallas_attention: bool = False  # fused Pallas attention kernel (ops/attention.py)
     pallas_blocked: bool = False   # pair-blocked grid variant of the kernel
-                                   # (32 (b,h) pairs per step instead of one
-                                   # sample; per-block dropout streams)
+                                   # (up to 24 (b,h) pairs per step instead
+                                   # of one sample — see ops/attention.py
+                                   # _largest_block; per-block dropout
+                                   # streams)
     attention_score_dtype: str = "float32"  # storage dtype of the S^2 score/
                                    # prob tensors on the XLA attention path.
                                    # "bfloat16" halves the dominant HBM

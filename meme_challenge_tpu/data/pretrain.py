@@ -141,11 +141,22 @@ class ITMBatcher:
             if random.random() < self.replace_prob:
                 # O(1) rejection sampling (uniform over != idx with a
                 # different text) — building the full candidate list per
-                # draw was O(corpus) on the host input path
-                while True:
-                    rand_idx = random.randrange(n)
-                    if rand_idx != idx and ds.texts[idx] != ds.texts[rand_idx]:
+                # draw was O(corpus) on the host input path. Bounded: a
+                # degenerate corpus (all rows one text) would otherwise spin
+                # forever; after the cap any rand_idx != idx is accepted
+                # (the replacement is then a same-text "negative", which is
+                # the only option such a corpus offers).
+                if n < 2:
+                    raise ValueError(
+                        "ITM replacement impossible: corpus has <2 rows")
+                rand_idx = None
+                for _ in range(64):
+                    cand = random.randrange(n)
+                    if cand != idx and ds.texts[idx] != ds.texts[cand]:
+                        rand_idx = cand
                         break
+                if rand_idx is None:
+                    rand_idx = (idx + 1 + random.randrange(n - 1)) % n
                 input_ids[row] = ds.input_ids[rand_idx]
                 txt_mask[row] = ds.txt_mask[rand_idx]
                 targets[row] = 0

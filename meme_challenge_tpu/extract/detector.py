@@ -446,18 +446,17 @@ class FeatureExtractor:
                     int(np.ceil(R / self._ROI_BUCKET) * self._ROI_BUCKET))
         rois_pad = np.zeros((r_pad, 4), np.float32)
         rois_pad[:R] = proposals
-        # quantize bins on the HOST in exact fp32 (XLA fastmath turns x/y
-        # into x·(1/y), which flips ceil() at integer boundaries — see
-        # ops.roi_pool_device); only multiplies run on device
-        ss = np.float32(1.0 / cfg.anchor_base)
-        q = np.floor(rois_pad * ss + np.float32(0.5)).astype(np.int32)
-        x1, y1 = q[:, 0], q[:, 1]
-        roi_w = np.maximum(q[:, 2] - x1 + 1, 1).astype(np.float32)
-        roi_h = np.maximum(q[:, 3] - y1 + 1, 1).astype(np.float32)
-        res = np.float32(cfg.pooler_resolution)
+        # bin quantization on the HOST in exact fp32 via the shared helper
+        # (ops.roi_bin_quantize — XLA fastmath would flip ceil() at integer
+        # boundaries); only multiplies run on device
+        from meme_challenge_tpu.extract.ops import roi_bin_quantize
+
+        x1, y1, bin_h, bin_w = roi_bin_quantize(
+            rois_pad, 1.0 / cfg.anchor_base,
+            (cfg.pooler_resolution, cfg.pooler_resolution))
         dev_out = self._roi_stage(self.params, feat, jnp.asarray(x1),
-                                  jnp.asarray(y1), jnp.asarray(roi_h / res),
-                                  jnp.asarray(roi_w / res))
+                                  jnp.asarray(y1), jnp.asarray(bin_h),
+                                  jnp.asarray(bin_w))
         needed = (("cls_prob", "bbox_deltas") if mode == 2
                   else ("features", "cls_prob", "attr_prob"))
         out = {k: np.asarray(dev_out[k])[:R] for k in needed}

@@ -24,16 +24,11 @@ Array = jax.Array
 
 
 def pairwise_iou(boxes1: Array, boxes2: Array) -> Array:
-    """IoU matrix [N, M] (detectron2 semantics, no +1)."""
-    area1 = jnp.maximum(0.0, boxes1[:, 2] - boxes1[:, 0]) * \
-        jnp.maximum(0.0, boxes1[:, 3] - boxes1[:, 1])
-    area2 = jnp.maximum(0.0, boxes2[:, 2] - boxes2[:, 0]) * \
-        jnp.maximum(0.0, boxes2[:, 3] - boxes2[:, 1])
-    lt = jnp.maximum(boxes1[:, None, :2], boxes2[None, :, :2])
-    rb = jnp.minimum(boxes1[:, None, 2:], boxes2[None, :, 2:])
-    wh = jnp.maximum(0.0, rb - lt)
-    inter = wh[..., 0] * wh[..., 1]
-    return inter / (area1[:, None] + area2[None, :] - inter + 1e-12)
+    """IoU matrix [N, M] (detectron2 semantics: no +1, eps-guarded union) —
+    delegates to the shared primitive (ops/iou.py)."""
+    from meme_challenge_tpu.ops.iou import pairwise_iou as _iou
+
+    return _iou(boxes1, boxes2, zero_union="eps")
 
 
 def encode_boxes(anchors: Array, targets: Array,

@@ -25,17 +25,15 @@ def nms_jax(boxes: Array, scores: Array, iou_threshold: float,
     Returns (keep_idx [max_out], keep_mask [max_out]): indices of kept boxes
     in descending-score order, padded with −1.
     """
+    from meme_challenge_tpu.ops.iou import pairwise_iou
+
     n = boxes.shape[0]
-    areas = jnp.maximum(0.0, boxes[:, 2] - boxes[:, 0]) * \
-        jnp.maximum(0.0, boxes[:, 3] - boxes[:, 1])
 
     def iou_row(i):
-        xx1 = jnp.maximum(boxes[i, 0], boxes[:, 0])
-        yy1 = jnp.maximum(boxes[i, 1], boxes[:, 1])
-        xx2 = jnp.minimum(boxes[i, 2], boxes[:, 2])
-        yy2 = jnp.minimum(boxes[i, 3], boxes[:, 3])
-        inter = jnp.maximum(0.0, xx2 - xx1) * jnp.maximum(0.0, yy2 - yy1)
-        return inter / (areas[i] + areas - inter + 1e-12)
+        # one row at a time — the full [n, n] matrix would be prohibitive at
+        # proposal counts; the shared primitive keeps the eps convention
+        return pairwise_iou(jax.lax.dynamic_slice_in_dim(boxes, i, 1),
+                            boxes, zero_union="eps")[0]
 
     def body(k, state):
         alive, keep_idx, keep_mask = state
@@ -167,15 +165,18 @@ def _roi_pool_kernel(feat: Array, x1: Array, y1: Array, bin_h: Array,
     return jnp.where(empty[..., None], 0.0, out)
 
 
-def roi_pool_device(feat: Array, rois, spatial_scale: float,
-                    output_size: Tuple[int, int]) -> Array:
-    """Caffe ROIPool, exact native/bua_ops.cpp:139-174 semantics; the max
-    pooling runs on device (feat never round-trips to the host).
+def roi_bin_quantize(rois, spatial_scale: float,
+                     output_size: Tuple[int, int]):
+    """Caffe ROIPool bin quantization in exact HOST fp32.
 
-    feat [H, W, C] device array; rois [R, 4] HOST numpy (the proposal stage
-    is host-side anyway). Quantization — round-half-away, +1 box size, the
-    fp32 bin-size division — happens here in numpy so it is bit-identical
-    to the C++ op regardless of XLA fastmath rewrites.
+    Round-half-away box quantization, +1 box size, and the fp32 bin-size
+    division of native/bua_ops.cpp:139-174 — kept in numpy because XLA
+    fastmath rewrites ``x / y`` to ``x * (1/y)``, which flips ``ceil()`` at
+    integer bin boundaries. The single definition shared by
+    :func:`roi_pool_device` and the detector's streamed ROI stage
+    (detector.py ``_finish``).
+
+    Returns ``(x1, y1, bin_h, bin_w)`` numpy arrays.
     """
     import numpy as np
 
@@ -186,8 +187,18 @@ def roi_pool_device(feat: Array, rois, spatial_scale: float,
     x1, y1 = q[:, 0], q[:, 1]
     roi_w = np.maximum(q[:, 2] - x1 + 1, 1).astype(np.float32)
     roi_h = np.maximum(q[:, 3] - y1 + 1, 1).astype(np.float32)
-    bin_h = roi_h / np.float32(ph)
-    bin_w = roi_w / np.float32(pw)
+    return x1, y1, roi_h / np.float32(ph), roi_w / np.float32(pw)
+
+
+def roi_pool_device(feat: Array, rois, spatial_scale: float,
+                    output_size: Tuple[int, int]) -> Array:
+    """Caffe ROIPool, exact native/bua_ops.cpp:139-174 semantics; the max
+    pooling runs on device (feat never round-trips to the host).
+
+    feat [H, W, C] device array; rois [R, 4] HOST numpy (the proposal stage
+    is host-side anyway); bin quantization via :func:`roi_bin_quantize`.
+    """
+    x1, y1, bin_h, bin_w = roi_bin_quantize(rois, spatial_scale, output_size)
     return _roi_pool_kernel(feat, jnp.asarray(x1), jnp.asarray(y1),
                             jnp.asarray(bin_h), jnp.asarray(bin_w),
                             output_size)

@@ -69,29 +69,35 @@ def evaluate(cfg: DetectorConfig, params, records, image_reader=None,
     VGEvaluator-parity metrics.
 
     Pass ``extractor`` to reuse compiled programs across calls (per-epoch
-    eval would otherwise pay a full backbone recompile each time); its
-    params are updated in place."""
+    eval would otherwise pay a full backbone recompile each time). The
+    extractor's params are swapped to ``params`` only for the duration of
+    the call and restored on exit, so a caller-owned extractor is not left
+    holding the last-evaluated params."""
     if extractor is None:
         extractor = FeatureExtractor(cfg, params)
-    else:
-        extractor.params = params
     ex = extractor
-    loader = VGDetectionLoader(records, cfg, is_train=False,
-                               image_reader=image_reader)
-    preds, gts = [], []
-    for i, rec in enumerate(records):
-        if max_images and i >= max_images:
-            break
-        img = loader.image_reader(rec)
-        out = ex.extract(img, mode=2)
-        cls_prob = out["cls_prob"]
-        labels = cls_prob[:, 1:].argmax(axis=1)        # 0-based foreground
-        scores = cls_prob[np.arange(len(labels)), labels + 1]
-        preds.append({"image_id": rec["image_id"], "boxes": out["bbox"],
-                      "scores": scores, "labels": labels})
-        gts.append({"image_id": rec["image_id"], "boxes": rec["boxes"],
-                    "classes": rec["classes"]})
-    return evaluate_detections(preds, gts, num_classes=cfg.num_classes - 1)
+    prev_params = ex.params
+    ex.params = params
+    try:
+        loader = VGDetectionLoader(records, cfg, is_train=False,
+                                   image_reader=image_reader)
+        preds, gts = [], []
+        for i, rec in enumerate(records):
+            if max_images and i >= max_images:
+                break
+            img = loader.image_reader(rec)
+            out = ex.extract(img, mode=2)
+            cls_prob = out["cls_prob"]
+            labels = cls_prob[:, 1:].argmax(axis=1)    # 0-based foreground
+            scores = cls_prob[np.arange(len(labels)), labels + 1]
+            preds.append({"image_id": rec["image_id"], "boxes": out["bbox"],
+                          "scores": scores, "labels": labels})
+            gts.append({"image_id": rec["image_id"], "boxes": rec["boxes"],
+                        "classes": rec["classes"]})
+        return evaluate_detections(preds, gts,
+                                   num_classes=cfg.num_classes - 1)
+    finally:
+        ex.params = prev_params
 
 
 def train(args, cfg: DetectorConfig, records, val_records,

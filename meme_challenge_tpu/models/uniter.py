@@ -316,10 +316,10 @@ class StackedEncoder(nn.Module):
             q, k, v = (_split_heads(t, n_heads) for t in (q, k, v))
             if use_pallas:
                 from meme_challenge_tpu.ops.attention import (
-                    _largest_block, fused_attention, fused_attention_blocked)
+                    blocked_seed_count, fused_attention,
+                    fused_attention_blocked)
                 if cfg.pallas_blocked:
-                    G = q.shape[0] * n_heads
-                    n_seed = G // _largest_block(G)
+                    n_seed = blocked_seed_count(q.shape[0], n_heads)
                     kernel = fused_attention_blocked
                 else:
                     n_seed = q.shape[0]

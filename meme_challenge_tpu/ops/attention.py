@@ -250,6 +250,18 @@ def _largest_block(g: int, cap: int = 24) -> int:
     return 1
 
 
+def blocked_seed_count(batch: int, num_heads: int) -> int:
+    """Number of per-grid-step dropout seeds :func:`fused_attention_blocked`
+    consumes for a ``[batch, num_heads, ...]`` input.
+
+    The single public home of the block-size policy: callers building seed
+    arrays (e.g. the encoder) MUST use this rather than re-deriving from
+    ``_largest_block``, so a future cap change or per-shape heuristic cannot
+    desynchronize the seed array from the kernel's grid."""
+    g = batch * num_heads
+    return g // _largest_block(g)
+
+
 def _blk_fwd_kernel(seed_ref, q_ref, k_ref, v_ref, bias_ref, o_ref, *,
                     scale, rate, interpret):
     seed = seed_ref[pl.program_id(0)]

@@ -29,16 +29,11 @@ Array = jax.Array
 
 
 def pairwise_iou(boxes: Array) -> Array:
-    """IoU with the Caffe-NMS area convention (no +1), boxes [R, 4] xyxy."""
-    x1, y1, x2, y2 = boxes[:, 0], boxes[:, 1], boxes[:, 2], boxes[:, 3]
-    areas = jnp.maximum(0.0, x2 - x1) * jnp.maximum(0.0, y2 - y1)
-    xx1 = jnp.maximum(x1[:, None], x1[None, :])
-    yy1 = jnp.maximum(y1[:, None], y1[None, :])
-    xx2 = jnp.minimum(x2[:, None], x2[None, :])
-    yy2 = jnp.minimum(y2[:, None], y2[None, :])
-    inter = jnp.maximum(0.0, xx2 - xx1) * jnp.maximum(0.0, yy2 - yy1)
-    union = areas[:, None] + areas[None, :] - inter
-    return jnp.where(union > 0, inter / union, 0.0)
+    """Self-IoU, Caffe-NMS conventions (no +1 area, zero-union → 0) —
+    delegates to the shared primitive (ops/iou.py)."""
+    from meme_challenge_tpu.ops.iou import pairwise_iou as _iou
+
+    return _iou(boxes, zero_union="zero")
 
 
 def _chunk_keep(iou: Array, scores_chunk: Array, thresh: float) -> Array:

@@ -156,15 +156,35 @@ class PretrainTrainer:
         self._task_steps[task] = compiled
         return compiled
 
-    def train(self, total_steps: Optional[int] = None):
+    def train(self, total_steps: Optional[int] = None,
+              log_every: Optional[int] = None,
+              save_checkpoint: bool = True):
         """Run ``total_steps`` optimizer steps (default: steps_per_epoch ×
-        max_epoch). Returns {task: mean loss over the last epoch}."""
+        max_epoch). Returns {task: mean loss over the last epoch}.
+
+        ``log_every`` sets the loss-fetch cadence (default total//10) — each
+        fetch is the loop's only host sync. ``save_checkpoint=False`` skips
+        the final ModelSaver dump (benchmark loops)."""
         c = self.config
         accum = c.gradient_accumulation
         total = total_steps or (self.steps_per_epoch * c.max_epoch)
-        task_losses: Dict[str, list] = {}
+        cadence = log_every or max(1, total // 10)
+        # (task, [accum] DEVICE loss buffer) per step — kept in-flight so the
+        # async dispatch overlaps host batch assembly (incl. the sequential
+        # per-sample MLM masking, data/pretrain.py) with device compute; a
+        # per-step float(np.asarray(...)) would force a host sync every
+        # optimizer step (the pattern removed from Trainer.train_main in r2b)
+        step_log: list = []
+        fetched: Dict[str, list] = {}
         stream = iter(self.meta_loader)
         t0 = time.time()
+
+        def drain():
+            for task_i, dev_losses in step_log:
+                fetched.setdefault(task_i, []).append(
+                    float(np.asarray(dev_losses).mean()))  # sync point
+            step_log.clear()
+
         for opt_step in range(total):
             group, task = [], None
             for _ in range(accum):
@@ -180,13 +200,15 @@ class PretrainTrainer:
             rng = jax.random.fold_in(self.root_rng, opt_step)
             step_fn = self._get_task_step(task)
             self.state, losses = step_fn(self.state, device_batch, rng)
-            task_losses.setdefault(task, []).append(
-                float(np.asarray(losses).mean()))
-            if (opt_step + 1) % max(1, total // 10) == 0:
+            step_log.append((task, losses))
+            if (opt_step + 1) % cadence == 0:
+                drain()
                 means = {t: float(np.mean(v[-50:]))
-                         for t, v in task_losses.items()}
+                         for t, v in fetched.items()}
                 logger.info("pretrain step %i/%i losses=%s (%.1fs)",
                             opt_step + 1, total, means, time.time() - t0)
-        self.saver.save(self.state.params)
+        drain()
+        if save_checkpoint:
+            self.saver.save(self.state.params)
         return {t: float(np.mean(v[-self.steps_per_epoch:]))
-                for t, v in task_losses.items()}
+                for t, v in fetched.items()}
