@@ -145,102 +145,98 @@ def brute_force_finder(predictions: np.ndarray, labels: np.ndarray,
 
 # ------------------------------------------------------------------------ EA
 
-def _tournament_indices(n, fits, k, tournsize=3):
-    """Tournament selection returning INDICES so known fitnesses carry over
-    (no re-evaluation of survivors)."""
-    out = []
-    for _ in range(k):
-        aspirants = [random.randrange(n) for _ in range(tournsize)]
-        out.append(max(aspirants, key=lambda i: fits[i]))
-    return out
-
-
-def _mutate(ind, min_weight, max_weight):
-    """Reference mutation (ensemble.py:206-220): 20% global scale around 1,
-    else Gaussian jitter with σ~U(0.02, 0.2) per-gene p=0.8; clip; snap
-    small weights to 0 half the time."""
-    if random.random() < 0.2:
-        scale = random.uniform(0.5, 2.0)
-        ind = [(w - 1) * scale + 1 for w in ind]
-    else:
-        sigma = random.uniform(0.02, 0.2)
-        ind = [w + random.gauss(0.0, sigma) if random.random() < 0.8 else w
-               for w in ind]
-    out = []
-    for w in ind:
-        w = min(max(w, min_weight), max_weight)
-        if w < 0.2 and random.random() < 0.5:
-            w = 0.0
-        out.append(w)
-    return out
-
-
-def _init_individual(individual_scores, min_weight, max_weight):
-    """Score-seeded init (reference ind_init, ensemble.py:223-232)."""
-    if random.random() > 0.5:
-        ind = [random.gauss(1.0, 0.3) for _ in individual_scores]
-    else:
-        mn, mx = min(individual_scores), max(individual_scores)
-        norm = [(e - mn + 0.01) / (mx - mn) if mx > mn else 1.0
-                for e in individual_scores]
-        s = sum(norm)
-        ind = [random.gauss(e / s * len(norm), 0.3) for e in norm]
-    return [min(max(min_weight, w), max_weight) for w in ind]
-
-
 def ea_ensemble_finder(predictions: np.ndarray, labels: np.ndarray,
                        num_weights: int,
                        individual_scores: Sequence[float],
                        population_size: int = 512,
                        min_weight: float = 0.0, max_weight: float = 4.0,
                        num_generations: int = 100,
-                       cxpb: float = 0.5, mutpb: float = 0.9
-                       ) -> Tuple[float, dict]:
+                       cxpb: float = 0.5, mutpb: float = 0.9,
+                       seed: int = 42) -> Tuple[float, dict]:
     """(μ+λ) EA with the reference's DEAP hyperparameters
-    (ensemble.py:235-272); fitness = logit-space AUROC, batched on device."""
+    (ensemble.py:235-272); fitness = logit-space AUROC, batched on device.
+
+    Host bookkeeping — tournament-3 selection, uniform crossover, the
+    reference's mutation operator (20% global scale around 1, else Gaussian
+    jitter σ~U(0.02, 0.2) per-gene p=0.8; clip; snap <0.2 weights to 0 half
+    the time; ensemble.py:206-232) and score-seeded init — is VECTORIZED
+    numpy over the whole population: the round-2 profile (BASELINE.md)
+    showed python-loop bookkeeping serializing against the per-generation
+    device call; vectorized, the relay round trip is the only remaining
+    per-generation cost. Operator distributions are unchanged; the RNG
+    stream is a dedicated seeded RandomState.
+    """
+    rs = np.random.RandomState(seed)
     preds_dev = jnp.asarray(predictions, jnp.float32)
     labels_dev = jnp.asarray(labels)
+    F = num_weights
 
-    def fitness(pop: List[List[float]]) -> np.ndarray:
-        scores = ensemble_scores_logit(
-            preds_dev, jnp.asarray(np.asarray(pop, np.float32)), labels_dev)
-        return np.asarray(scores)
+    def fitness(pop: np.ndarray) -> np.ndarray:
+        return np.asarray(ensemble_scores_logit(
+            preds_dev, jnp.asarray(pop, jnp.float32), labels_dev))
 
-    def new_population():
-        return [_init_individual(individual_scores, min_weight, max_weight)
-                for _ in range(population_size)]
+    def tournament(fit_values: np.ndarray, k: int,
+                   tournsize: int = 3) -> np.ndarray:
+        asp = rs.randint(0, len(fit_values), (k, tournsize))
+        return asp[np.arange(k), np.argmax(fit_values[asp], axis=1)]
+
+    def mutate_all(pop: np.ndarray) -> np.ndarray:
+        k = pop.shape[0]
+        use_scale = rs.random_sample(k) < 0.2
+        scales = rs.uniform(0.5, 2.0, k)
+        sigma = rs.uniform(0.02, 0.2, k)
+        gene_sel = rs.random_sample((k, F)) < 0.8
+        noise = rs.normal(0.0, 1.0, (k, F)) * sigma[:, None]
+        scaled = (pop - 1.0) * scales[:, None] + 1.0
+        jittered = np.where(gene_sel, pop + noise, pop)
+        out = np.where(use_scale[:, None], scaled, jittered)
+        out = np.clip(out, min_weight, max_weight)
+        snap = (out < 0.2) & (rs.random_sample((k, F)) < 0.5)
+        return np.where(snap, 0.0, out)
+
+    def var_and(parents: np.ndarray) -> np.ndarray:
+        off = parents.copy()
+        half = off.shape[0] // 2
+        do_cx = rs.random_sample(half) < cxpb
+        gene_mask = (rs.random_sample((half, F)) < 0.5) & do_cx[:, None]
+        a, b = off[0:2 * half:2], off[1:2 * half:2]
+        off[0:2 * half:2] = np.where(gene_mask, b, a)
+        off[1:2 * half:2] = np.where(gene_mask, a, b)
+        do_mut = rs.random_sample(off.shape[0]) < mutpb
+        return np.where(do_mut[:, None], mutate_all(off), off)
+
+    def new_population() -> np.ndarray:
+        scores = np.asarray(individual_scores, np.float64)
+        mn, mx = scores.min(), scores.max()
+        norm = ((scores - mn + 0.01) / (mx - mn) if mx > mn
+                else np.ones(F))
+        seeded_mean = norm / norm.sum() * F
+        use_gauss = rs.random_sample(population_size) < 0.5
+        gauss_pop = rs.normal(1.0, 0.3, (population_size, F))
+        seeded_pop = seeded_mean[None, :] + rs.normal(
+            0.0, 0.3, (population_size, F))
+        pop = np.where(use_gauss[:, None], gauss_pop, seeded_pop)
+        return np.clip(pop, min_weight, max_weight)
 
     population = new_population()
     fits = fitness(population)
-    hof_ind = list(population[int(np.argmax(fits))])
+    hof_ind = population[int(np.argmax(fits))].copy()
     hof_fit = float(np.max(fits))
     best_score, best_gen = -1.0, 0
 
     for gen in range(num_generations):
-        parent_idx = _tournament_indices(len(population), fits,
-                                         k=len(population))
-        # varAnd: pairwise uniform crossover then mutation
-        offspring = [list(population[i]) for i in parent_idx]
-        for i in range(1, len(offspring), 2):
-            if random.random() < cxpb:
-                a, b = offspring[i - 1], offspring[i]
-                for g in range(num_weights):
-                    if random.random() < 0.5:
-                        a[g], b[g] = b[g], a[g]
-        for i in range(len(offspring)):
-            if random.random() < mutpb:
-                offspring[i] = _mutate(offspring[i], min_weight, max_weight)
+        parent_idx = tournament(fits, k=len(population))
+        offspring = var_and(population[parent_idx])
         off_fits = fitness(offspring)  # the ONE device call per generation
-        merged = population + offspring
+        merged = np.concatenate([population, offspring], axis=0)
         merged_fits = np.concatenate([fits, off_fits])
-        sel_idx = _tournament_indices(len(merged), merged_fits,
-                                      k=population_size)
-        population = [list(merged[i]) for i in sel_idx]
+        sel_idx = tournament(merged_fits, k=population_size)
+        population = merged[sel_idx]
         fits = merged_fits[sel_idx]
         gen_best = int(np.argmax(merged_fits))
         if float(merged_fits[gen_best]) > hof_fit:
             hof_fit = float(merged_fits[gen_best])
-            hof_ind = list(merged[gen_best])
+            hof_ind = merged[gen_best].copy()
         if hof_fit > best_score:
             best_score = hof_fit
             best_gen = gen
@@ -252,7 +248,8 @@ def ea_ensemble_finder(predictions: np.ndarray, labels: np.ndarray,
         if (gen + 1) % 20 == 0:
             logger.info("[EA search] %i generations, max %4.2f%%",
                         gen + 1, hof_fit * 100.0)
-    return hof_fit, {"weights": hof_ind, "on_logits": True}
+    return hof_fit, {"weights": [float(w) for w in hof_ind],
+                     "on_logits": True}
 
 
 # ----------------------------------------------------------------- pipeline

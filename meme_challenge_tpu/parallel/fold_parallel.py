@@ -175,6 +175,10 @@ class FoldParallelTrainer:
                 logits.reshape(logits.shape[0], -1)[:, 0].astype(jnp.float32))
 
         self._eval_step = jax.jit(jax.vmap(fold_eval))
+        # shared-batch variant: one [B, ...] batch broadcast over the fold
+        # axis on device (in_axes=(0, None)) — H2D bytes independent of F
+        self._eval_step_shared = jax.jit(jax.vmap(fold_eval,
+                                                  in_axes=(0, None)))
 
         def snapshot(best, current, improved_mask):
             def upd(b, p):
@@ -459,7 +463,14 @@ class FoldParallelTrainer:
     def predict_folds(self, loaders: List):
         """Per-fold (probabilities, ids) over per-fold loaders using best
         params. Returns ``(probs_per_fold, ids_per_fold)`` — two lists of
-        per-fold arrays."""
+        per-fold arrays.
+
+        When every entry is the SAME loader object (shared test sets,
+        reference train_template.py:157-192 export path), each batch is
+        uploaded once and broadcast over the fold axis on device instead of
+        stacking F byte-identical copies through the host link."""
+        if len(loaders) > 1 and all(l is loaders[0] for l in loaders):
+            return self._predict_shared(loaders[0])
         saved = self.state
         self.state = self.state._replace(params=self.best_params)
         try:
@@ -484,5 +495,29 @@ class FoldParallelTrainer:
                     ids_per_fold[f].append(batches[f]["ids"][mask])
             return ([np.concatenate(p) for p in probs_per_fold],
                     [np.concatenate(i) for i in ids_per_fold])
+        finally:
+            self.state = saved
+
+    def _predict_shared(self, loader):
+        """Shared-loader export: iterate the loader ONCE, upload each batch
+        once, evaluate all folds on it via the (params-vmapped, batch-
+        broadcast) eval step."""
+        saved = self.state
+        self.state = self.state._replace(params=self.best_params)
+        try:
+            probs_chunks, ids_chunks = [], []
+            for batch in loader:
+                b = dict(batch)
+                ids = b.pop("ids")
+                device_batch = {k: jnp.asarray(v) for k, v in b.items()}
+                probs = np.asarray(self._eval_step_shared(
+                    self.state.params, device_batch))        # [F, B]
+                mask = batch["sample_mask"].astype(bool)
+                probs_chunks.append(probs[:, mask])
+                ids_chunks.append(np.asarray(ids)[mask])
+            probs_cat = np.concatenate(probs_chunks, axis=1)
+            ids_cat = np.concatenate(ids_chunks)
+            return ([probs_cat[f] for f in range(self.num_folds)],
+                    [ids_cat.copy() for _ in range(self.num_folds)])
         finally:
             self.state = saved

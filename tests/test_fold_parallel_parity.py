@@ -210,3 +210,46 @@ def test_fold_parallel_kill_and_resume_with_shuffle(setup, tmp_path):
     for key in ("aucroc", "accuracy", "loss"):
         assert abs(resumed_metrics[key] - full_metrics[key]) < 1e-6, (
             key, resumed_metrics[key], full_metrics[key])
+
+
+def test_predict_folds_shared_loader_broadcast(setup):
+    """A shared test loader stacked F times must take the broadcast path:
+    iterate the loader ONCE (H2D bytes independent of F) and match the
+    per-fold stacked path bit-for-bit."""
+    model, cfg, loaders = setup
+    F = 2
+
+    set_seed(cfg.seed)
+    train_l, val_l = loaders()
+    params = _init_params(model, cfg, val_l)
+    stacked = jax.tree.map(
+        lambda x: np.stack([np.asarray(x)] * F), params)
+    par = FoldParallelTrainer(cfg.replace(max_epoch=1), model, stacked,
+                              [train_l] * F, [val_l] * F)
+    par.train_main()
+
+    class CountingLoader:
+        def __init__(self, inner):
+            self.inner = inner
+            self.dataset = inner.dataset
+            self.iterations = 0
+
+        def __len__(self):
+            return len(self.inner)
+
+        def __iter__(self):
+            self.iterations += 1
+            return iter(self.inner)
+
+    shared = CountingLoader(val_l)
+    probs_shared, ids_shared = par.predict_folds([shared] * F)
+    assert shared.iterations == 1, (
+        "shared loader must be consumed once, not per fold")
+
+    # distinct-but-equal loader objects force the stacked per-fold path
+    probs_stacked, ids_stacked = par.predict_folds(
+        [CountingLoader(val_l), CountingLoader(val_l)])
+    for f in range(F):
+        np.testing.assert_array_equal(ids_shared[f], ids_stacked[f])
+        np.testing.assert_allclose(probs_shared[f], probs_stacked[f],
+                                   atol=1e-6)
