@@ -134,10 +134,13 @@ class TrainConfig:
                                         # halves the largest optimizer-state
                                         # HBM stream (+2% step, measured);
                                         # "float32" for bitwise fp32 moments
-    adam_nu_dtype: str = "float32"      # Adam second-moment storage; bf16
-                                        # saves another ~1.2 GB/step of
-                                        # optimizer traffic (moment math
-                                        # stays fp32, optim.py)
+    adam_nu_dtype: str = "bfloat16"     # Adam second-moment storage (moment
+                                        # math stays fp32, optim.py). bf16
+                                        # measured NEUTRAL in r2b but +2.5%
+                                        # after the QKV pre-concat (981.7 →
+                                        # 1006.6 memes/s same-window, r3) —
+                                        # also halves nu state memory.
+                                        # "float32" for bitwise fp32 moments
     weight_decay: float = 1e-3
     max_grad_norm: float = 5.0
     gradient_accumulation: int = 1

@@ -145,6 +145,131 @@ def brute_force_finder(predictions: np.ndarray, labels: np.ndarray,
 
 # ------------------------------------------------------------------------ EA
 
+def _seeded_mean(individual_scores, num_weights: int) -> np.ndarray:
+    """Score-proportional init means (reference ind_init, ensemble.py:223-232)."""
+    scores = np.asarray(individual_scores, np.float64)
+    mn, mx = scores.min(), scores.max()
+    norm = ((scores - mn + 0.01) / (mx - mn) if mx > mn
+            else np.ones(num_weights))
+    return norm / norm.sum() * num_weights
+
+
+def ea_ensemble_finder_device(predictions: np.ndarray, labels: np.ndarray,
+                              num_weights: int,
+                              individual_scores: Sequence[float],
+                              population_size: int = 512,
+                              min_weight: float = 0.0,
+                              max_weight: float = 4.0,
+                              num_generations: int = 100,
+                              cxpb: float = 0.5, mutpb: float = 0.9,
+                              seed: int = 42) -> Tuple[float, dict]:
+    """The ENTIRE EA as one jitted ``lax.scan`` over generations.
+
+    Same operators and hyperparameters as :func:`ea_ensemble_finder` (jax
+    PRNG instead of numpy), but zero per-generation host round trips — on
+    the TPU relay the host-driven loop pays an RTT per generation (r2
+    profile, BASELINE.md); here 100 generations are a single device call.
+    Stagnation reinit runs under ``lax.cond`` so its extra fitness pass is
+    only paid when triggered.
+    """
+    import jax
+    from jax import lax, random
+
+    from meme_challenge_tpu.ops.device_metrics import (
+        auroc_batched, ensemble_prediction)
+
+    F, P = num_weights, population_size
+    preds = jnp.asarray(predictions, jnp.float32)
+    labels_dev = jnp.asarray(labels)
+    seeded_mean = jnp.asarray(_seeded_mean(individual_scores, F), jnp.float32)
+
+    def fitness(pop):
+        mix = jax.vmap(lambda w: ensemble_prediction(preds, w, True))(pop)
+        return auroc_batched(mix, labels_dev)
+
+    def init_pop(key):
+        k1, k2, k3 = random.split(key, 3)
+        use_gauss = random.uniform(k1, (P,)) < 0.5
+        gauss_pop = 1.0 + 0.3 * random.normal(k2, (P, F))
+        seeded_pop = seeded_mean[None, :] + 0.3 * random.normal(k3, (P, F))
+        return jnp.clip(jnp.where(use_gauss[:, None], gauss_pop, seeded_pop),
+                        min_weight, max_weight)
+
+    def tournament(key, fits, k, tournsize=3):
+        asp = random.randint(key, (k, tournsize), 0, fits.shape[0])
+        return asp[jnp.arange(k), jnp.argmax(fits[asp], axis=1)]
+
+    def mutate_all(key, pop):
+        k1, k2, k3, k4, k5, k6 = random.split(key, 6)
+        use_scale = random.uniform(k1, (P,)) < 0.2
+        scales = random.uniform(k2, (P,), minval=0.5, maxval=2.0)
+        sigma = random.uniform(k3, (P,), minval=0.02, maxval=0.2)
+        gene_sel = random.uniform(k4, (P, F)) < 0.8
+        noise = random.normal(k5, (P, F)) * sigma[:, None]
+        scaled = (pop - 1.0) * scales[:, None] + 1.0
+        jittered = jnp.where(gene_sel, pop + noise, pop)
+        out = jnp.where(use_scale[:, None], scaled, jittered)
+        out = jnp.clip(out, min_weight, max_weight)
+        snap = (out < 0.2) & (random.uniform(k6, (P, F)) < 0.5)
+        return jnp.where(snap, 0.0, out)
+
+    def var_and(key, parents):
+        k1, k2, k3, k4 = random.split(key, 4)
+        half = P // 2
+        do_cx = random.uniform(k1, (half,)) < cxpb
+        gene_mask = (random.uniform(k2, (half, F)) < 0.5) & do_cx[:, None]
+        a, b = parents[0:2 * half:2], parents[1:2 * half:2]
+        off = parents.at[0:2 * half:2].set(jnp.where(gene_mask, b, a))
+        off = off.at[1:2 * half:2].set(jnp.where(gene_mask, a, b))
+        do_mut = random.uniform(k3, (P,)) < mutpb
+        return jnp.where(do_mut[:, None], mutate_all(k4, off), off)
+
+    def gen_step(carry, key):
+        pop, fits, hof_ind, hof_fit, best_gen, gen = carry
+        k1, k2, k3, k4 = random.split(key, 4)
+        parent_idx = tournament(k1, fits, P)
+        offspring = var_and(k2, pop[parent_idx])
+        off_fits = fitness(offspring)
+        merged = jnp.concatenate([pop, offspring], axis=0)
+        merged_fits = jnp.concatenate([fits, off_fits])
+        sel = tournament(k3, merged_fits, P)
+        pop2, fits2 = merged[sel], merged_fits[sel]
+        gb = jnp.argmax(merged_fits)
+        improved = merged_fits[gb] > hof_fit
+        hof_fit = jnp.where(improved, merged_fits[gb], hof_fit)
+        hof_ind = jnp.where(improved, merged[gb], hof_ind)
+        best_gen = jnp.where(improved, gen, best_gen)
+        stagnated = (gen - best_gen) >= 50
+
+        def reinit(_):
+            fresh = init_pop(k4)
+            return fresh, fitness(fresh), gen
+
+        pop2, fits2, best_gen = lax.cond(
+            stagnated, reinit, lambda _: (pop2, fits2, best_gen),
+            operand=None)
+        return (pop2, fits2, hof_ind, hof_fit, best_gen, gen + 1), None
+
+    @jax.jit
+    def run(key):
+        k0, kscan = random.split(key)
+        pop = init_pop(k0)
+        fits = fitness(pop)
+        hof_idx = jnp.argmax(fits)
+        carry = (pop, fits, pop[hof_idx], fits[hof_idx],
+                 jnp.int32(0), jnp.int32(0))
+        keys = random.split(kscan, num_generations)
+        carry, _ = lax.scan(gen_step, carry, keys)
+        return carry[2], carry[3]
+
+    hof_ind, hof_fit = run(random.PRNGKey(seed))
+    hof_fit = float(np.asarray(hof_fit))
+    logger.info("[EA search/device] %i generations, max %4.2f%%",
+                num_generations, hof_fit * 100.0)
+    return hof_fit, {"weights": [float(w) for w in np.asarray(hof_ind)],
+                     "on_logits": True}
+
+
 def ea_ensemble_finder(predictions: np.ndarray, labels: np.ndarray,
                        num_weights: int,
                        individual_scores: Sequence[float],
@@ -206,11 +331,7 @@ def ea_ensemble_finder(predictions: np.ndarray, labels: np.ndarray,
         return np.where(do_mut[:, None], mutate_all(off), off)
 
     def new_population() -> np.ndarray:
-        scores = np.asarray(individual_scores, np.float64)
-        mn, mx = scores.min(), scores.max()
-        norm = ((scores - mn + 0.01) / (mx - mn) if mx > mn
-                else np.ones(F))
-        seeded_mean = norm / norm.sum() * F
+        seeded_mean = _seeded_mean(individual_scores, F)
         use_gauss = rs.random_sample(population_size) < 0.5
         gauss_pop = rs.normal(1.0, 0.3, (population_size, F))
         seeded_pop = seeded_mean[None, :] + rs.normal(
@@ -258,9 +379,16 @@ def find_ensemble(dev_files: List[str], test_files,
                   weight_range=(0.0, 0.5, 1.0, 2.0),
                   max_weights: int = 10000,
                   run_ea: bool = True,
-                  ea_generations: int = 100) -> dict:
+                  ea_generations: int = 100,
+                  ea_impl: str = "auto") -> dict:
     """Full search + export pipeline (reference find_ensemble,
-    utils/ensemble.py:35-112). Returns the best config."""
+    utils/ensemble.py:35-112). Returns the best config.
+
+    ``ea_impl``: "host" (numpy-vectorized loop, one device scoring call per
+    generation), "device" (whole EA as one lax.scan call), or "auto" —
+    device on a TPU backend when the generation count amortizes the scan
+    compile, host otherwise (CPU tests, tiny searches).
+    """
     dev_preds = [load_predictions(f) for f in dev_files]
     dev_preds = align_ids(dev_preds)
     dev_gt = dev_preds[0]["gt"]
@@ -286,7 +414,14 @@ def find_ensemble(dev_files: List[str], test_files,
         weight_range=weight_range, max_weights=max_weights)
     if run_ea:
         logger.info("Starting EA to find optimal weights...")
-        ea_score, ea_config = ea_ensemble_finder(
+        import jax
+
+        use_device = (ea_impl == "device"
+                      or (ea_impl == "auto" and ea_generations >= 20
+                          and jax.default_backend() not in ("cpu",)))
+        finder = (ea_ensemble_finder_device if use_device
+                  else ea_ensemble_finder)
+        ea_score, ea_config = finder(
             predictions, dev_gt, num_weights=len(dev_preds),
             individual_scores=dev_scores, num_generations=ea_generations)
         if ea_score > best_score:

@@ -18,12 +18,29 @@ Array = jax.Array
 
 
 def _ranks_1d(probs: Array) -> Array:
-    """Average ranks (1-based) with tie handling, O(N log N)."""
+    """Average ranks (1-based) with tie handling, O(N log N).
+
+    Tie runs are resolved with cumulative max/min over run boundaries
+    instead of two ``searchsorted`` passes — on TPU the vmapped binary
+    searches dominated the whole ensemble-search fitness kernel (104 of
+    105 ms at K=512 N=900, r3 profile); the scan form is ~free next to the
+    argsort. For a sorted array, ``start[i]`` = first index of i's tie run
+    (prefix cummax of run-start indices) and ``end[i]`` = last index
+    (suffix cummin of run-end indices); the average 1-based rank of the
+    run is ``(start + end) / 2 + 1`` — exactly the
+    ``(searchsorted_left + searchsorted_right + 1) / 2`` statistic.
+    """
+    n = probs.shape[0]
     order = jnp.argsort(probs)
     sorted_p = probs[order]
-    start = jnp.searchsorted(sorted_p, sorted_p, side="left")
-    end = jnp.searchsorted(sorted_p, sorted_p, side="right")
-    avg_sorted = (start + end + 1) * 0.5
+    idx = jnp.arange(n)
+    is_run_start = jnp.concatenate(
+        [jnp.ones((1,), bool), sorted_p[1:] != sorted_p[:-1]])
+    is_run_end = jnp.concatenate(
+        [sorted_p[1:] != sorted_p[:-1], jnp.ones((1,), bool)])
+    start = jax.lax.cummax(jnp.where(is_run_start, idx, 0))
+    end = jax.lax.cummin(jnp.where(is_run_end, idx, n - 1), reverse=True)
+    avg_sorted = (start + end) * 0.5 + 1.0
     ranks = jnp.zeros_like(avg_sorted).at[order].set(avg_sorted)
     return ranks
 

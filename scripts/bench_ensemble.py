@@ -63,16 +63,19 @@ def host_reference_search(preds, labels, n_brute=10000, pop=512, gens=100):
     return time.perf_counter() - t0, evals
 
 
-def device_search(preds, labels):
+def device_search(preds, labels, ea_impl="host"):
+    from meme_challenge_tpu.ensemble.ensemble import ea_ensemble_finder_device
     from meme_challenge_tpu.ops.device_metrics import auroc_batched
 
     indiv = np.asarray(auroc_batched(jnp.asarray(preds, jnp.float32),
                                      jnp.asarray(labels)))
+    finder = (ea_ensemble_finder_device if ea_impl == "device"
+              else ea_ensemble_finder)
     t0 = time.perf_counter()
     bf_score, bf_cfg = brute_force_finder(preds, labels, num_weights=F)
-    ea_score, ea_cfg = ea_ensemble_finder(preds, labels, num_weights=F,
-                                          individual_scores=list(indiv),
-                                          num_generations=100)
+    ea_score, ea_cfg = finder(preds, labels, num_weights=F,
+                              individual_scores=list(indiv),
+                              num_generations=100)
     best = float(max(bf_score, ea_score))  # sync
     return time.perf_counter() - t0, best
 
@@ -84,15 +87,22 @@ def main():
     # warm the jit caches once so the comparison is steady-state
     device_search(preds[:, :128], labels[:128])
     dev_s, best = device_search(preds, labels)
+    # full-EA-in-one-scan variant: time INCLUDING its compile (the cost a
+    # first crossval run pays), then the steady-state rerun
+    dev2_first, best2 = device_search(preds, labels, ea_impl="device")
+    dev2_s, _ = device_search(preds, labels, ea_impl="device")
     host_s, host_evals = host_reference_search(preds, labels)
 
     print(json.dumps({
         "metric": "ensemble_search_walltime_F15_N900",
         "device_batched_sec": round(dev_s, 2),
+        "device_scan_ea_sec": round(dev2_s, 2),
+        "device_scan_ea_incl_compile_sec": round(dev2_first, 2),
         "host_sequential_sklearn_sec": round(host_s, 2),
         "speedup": round(host_s / dev_s, 1),
         "host_evals": host_evals,
         "device_best_auroc": round(best, 4),
+        "device_scan_best_auroc": round(best2, 4),
         "platform": jax.devices()[0].platform,
     }))
 

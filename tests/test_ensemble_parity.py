@@ -52,3 +52,58 @@ def test_all_weights_zero_gives_half(ref_ensemble):
                                                      [0.0, 0.0])
     np.testing.assert_allclose(ours, theirs)
     assert (ours == 0.5).all()
+
+
+def test_device_ea_finds_good_weights(rng):
+    """The one-scan device EA (same operators/hyperparams, jax PRNG) is
+    deterministic and beats the best individual fold on a problem where a
+    weighted mix provably helps."""
+    from meme_challenge_tpu.ensemble.ensemble import (
+        ea_ensemble_finder, ea_ensemble_finder_device)
+    from meme_challenge_tpu.ops.device_metrics import auroc_batched
+
+    import jax.numpy as jnp
+
+    F, N = 4, 120
+    labels = rng.randint(0, 2, N)
+    signal = labels + 0.0
+    preds = np.stack([
+        np.clip(0.5 + 0.25 * (signal - 0.5) + 0.35 * rng.randn(N), 0.01, 0.99)
+        for _ in range(F - 1)
+    ] + [rng.rand(N)])  # last fold is pure noise
+    indiv = np.asarray(auroc_batched(jnp.asarray(preds, jnp.float32),
+                                     jnp.asarray(labels)))
+
+    score, cfg = ea_ensemble_finder_device(
+        preds, labels, num_weights=F, individual_scores=list(indiv),
+        population_size=64, num_generations=30)
+    assert cfg["on_logits"] is True
+    assert len(cfg["weights"]) == F
+    assert score >= float(indiv.max()) - 1e-6
+
+    # deterministic: same seed → same result
+    score2, cfg2 = ea_ensemble_finder_device(
+        preds, labels, num_weights=F, individual_scores=list(indiv),
+        population_size=64, num_generations=30)
+    assert score == score2 and cfg["weights"] == cfg2["weights"]
+
+    # host EA on the same problem also clears the bar (sanity: both impls
+    # optimize the same objective)
+    h_score, _ = ea_ensemble_finder(
+        preds, labels, num_weights=F, individual_scores=list(indiv),
+        population_size=64, num_generations=30)
+    assert h_score >= float(indiv.max()) - 1e-6
+
+
+def test_device_ea_stagnation_reinit_runs(rng):
+    """Generations past the 50-gen stagnation window exercise the lax.cond
+    reinit branch without error."""
+    from meme_challenge_tpu.ensemble.ensemble import ea_ensemble_finder_device
+
+    F, N = 3, 40
+    labels = rng.randint(0, 2, N)
+    preds = rng.rand(F, N)
+    score, cfg = ea_ensemble_finder_device(
+        preds, labels, num_weights=F, individual_scores=[0.5] * F,
+        population_size=16, num_generations=60)
+    assert np.isfinite(score) and len(cfg["weights"]) == F
