@@ -157,6 +157,11 @@ class TrainConfig:
     num_workers: int = 0
 
     # Data / sampling
+    device_resident_data: bool = False  # preload whole datasets to HBM and
+                                        # gather micro-batches on device
+                                        # (index-bytes per step instead of
+                                        # feature-megabytes; pointwise-equal
+                                        # to host batches — test_train)
     confounder_repeat: int = 1
     object_conf_thresh: float = 0.0
     num_folds: int = 0                  # 0 = default split, -1 = all folds

@@ -189,6 +189,29 @@ class MemeDataset:
             return None
         return self.batch(where[:1])
 
+    def device_arrays(self) -> Dict[str, np.ndarray]:
+        """Full-dataset model-input arrays for the device-resident pipeline.
+
+        Upload ONCE (``jax.device_put``) and let the jitted step gather
+        micro-batches from indices on device (train/steps.py:gather_micro)
+        — the HM corpus is ~4 GB fp16 and fits in HBM, so per-step
+        host→device traffic drops from feature megabytes to index bytes
+        (SURVEY.md §7 hard-part 8).
+        """
+        out = {
+            "input_ids": self.input_ids,
+            "position_ids": self.position_ids,
+            "txt_mask": self.txt_mask,
+            "labels": self.labels,
+        }
+        if not self.text_only:
+            assert self.img_feat is not None, (
+                "device_arrays requires preloaded features")
+            out.update(img_feat=self.img_feat,
+                       img_pos_feat=self.img_pos_feat,
+                       img_mask=self.img_mask)
+        return out
+
     def batch(self, indices: Sequence[int]) -> Dict[str, np.ndarray]:
         """Assemble a static-shape batch by fancy indexing."""
         idx = np.asarray(indices)
@@ -200,7 +223,11 @@ class MemeDataset:
             "ids": self.ids[idx],
         }
         if not self.text_only:
-            out["img_feat"] = self.img_feat[idx].astype(np.float32)
+            # emit the STORED dtype (fp16 by default): features are fp16 on
+            # disk/RAM anyway, the model upcasts in-graph, and shipping fp32
+            # would double the dominant host→device stream of every train
+            # and eval step (13 MB vs 26 MB per b16×a2 batch)
+            out["img_feat"] = self.img_feat[idx]
             out["img_pos_feat"] = self.img_pos_feat[idx]
             out["img_mask"] = self.img_mask[idx]
         return out
@@ -215,11 +242,16 @@ class BatchLoader:
     """
 
     def __init__(self, dataset: MemeDataset, batch_size: int,
-                 sampler=None, shuffle_data: bool = False):
+                 sampler=None, shuffle_data: bool = False,
+                 index_batches: bool = False):
         self.dataset = dataset
         self.batch_size = batch_size
         self.sampler = sampler
         self.shuffle_data = shuffle_data
+        # index_batches: yield only {indices, sample_mask, ids, labels}
+        # (same ordering/padding); the consumer gathers model inputs on
+        # device from dataset.device_arrays() — see train/steps.gather_micro
+        self.index_batches = index_batches
 
     def _order(self) -> np.ndarray:
         if self.sampler is not None:
@@ -245,9 +277,15 @@ class BatchLoader:
             if valid < bs:  # pad final batch by repeating its first sample
                 chunk = np.concatenate(
                     [chunk, np.full(bs - valid, chunk[0], dtype=np.int64)])
-            batch = self.dataset.batch(chunk)
             mask = np.zeros(bs, dtype=np.int32)
             mask[:valid] = 1
+            if self.index_batches:
+                yield {"indices": chunk.astype(np.int32),
+                       "sample_mask": mask,
+                       "ids": self.dataset.ids[chunk],
+                       "labels": self.dataset.labels[chunk]}
+                continue
+            batch = self.dataset.batch(chunk)
             batch["sample_mask"] = mask
             yield batch
 

@@ -484,8 +484,8 @@ class FoldParallelTrainer:
                         batches.append(dict(next(it)))
                 except StopIteration:
                     break
-                device_batch = {k: jnp.stack(
-                    [jnp.asarray(b[k]) for b in batches], axis=0)
+                device_batch = {k: np.stack(
+                    [np.asarray(b[k]) for b in batches], axis=0)
                     for k in batches[0] if k != "ids"}
                 probs = np.asarray(self._eval_step(self.state.params,
                                                    device_batch))
@@ -509,7 +509,7 @@ class FoldParallelTrainer:
             for batch in loader:
                 b = dict(batch)
                 ids = b.pop("ids")
-                device_batch = {k: jnp.asarray(v) for k, v in b.items()}
+                device_batch = {k: np.asarray(v) for k, v in b.items()}
                 probs = np.asarray(self._eval_step_shared(
                     self.state.params, device_batch))        # [F, B]
                 mask = batch["sample_mask"].astype(bool)

@@ -194,8 +194,11 @@ class PretrainTrainer:
                     "accumulation group")
                 task = task_i
                 group.append(batch)
+            # host-side stack; leaves upload inside the one step dispatch
+            # (per-leaf jnp ops cost ~3 relay RTs each — see
+            # steps.stack_for_accum)
             device_batch = {
-                k: jnp.stack([jnp.asarray(b[k]) for b in group])
+                k: np.stack([np.asarray(b[k]) for b in group])
                 for k in group[0]}
             rng = jax.random.fold_in(self.root_rng, opt_step)
             step_fn = self._get_task_step(task)

@@ -36,12 +36,29 @@ def create_train_state(params, tx: optax.GradientTransformation) -> TrainState:
                       step=jnp.zeros((), jnp.int32))
 
 
+def gather_micro(data: Dict[str, Array], micro_batch: Dict[str, Array]
+                 ) -> Dict[str, Array]:
+    """Assemble a micro-batch ON DEVICE from full-dataset arrays + indices.
+
+    The device-resident input pipeline (SURVEY.md §7 hard-part 8): the
+    whole dataset lives in HBM (e.g. 10k×100×2048 fp16 features ≈ 4 GB) and
+    each step uploads only ``[accum, B]`` int32 indices + the padding mask —
+    a few hundred bytes instead of the ~13 MB of features a b16×a2 batch
+    streams host→device otherwise.
+    """
+    idx = micro_batch["indices"]
+    out = {k: jnp.take(v, idx, axis=0) for k, v in data.items()}
+    out["sample_mask"] = micro_batch["sample_mask"]
+    return out
+
+
 def make_train_step(
     model_apply: Callable,
     loss_fn: Callable,
     tx: optax.GradientTransformation,
     accum_steps: int = 1,
     donate: bool = True,
+    gather_data: bool = False,
 ):
     """Build the jitted train step.
 
@@ -50,9 +67,16 @@ def make_train_step(
 
     The incoming batch dict has leading dims ``[accum, micro_bs, ...]``.
     Returns (new_state, {"loss": [accum], "probs": [accum, micro_bs(, C)]}).
+
+    ``gather_data=True`` builds the device-resident variant: the step takes
+    a fourth argument ``data`` (full-dataset device arrays, incl.
+    ``labels``), the batch carries only ``indices`` + ``sample_mask``, and
+    micro-batches are gathered on device (:func:`gather_micro`).
     """
 
-    def micro_loss(params, micro_batch, rng):
+    def micro_loss(params, micro_batch, rng, data):
+        if gather_data:
+            micro_batch = gather_micro(data, micro_batch)
         logits = model_apply(params, micro_batch, rng)
         loss, probs = loss_fn(logits, micro_batch["labels"],
                               micro_batch["sample_mask"])
@@ -60,27 +84,29 @@ def make_train_step(
 
     grad_fn = jax.value_and_grad(micro_loss, has_aux=True)
 
-    def train_step(state: TrainState, batch: Dict[str, Array], rng: Array
+    def train_step(state: TrainState, batch: Dict[str, Array], rng: Array,
+                   data: Optional[Dict[str, Array]] = None
                    ) -> Tuple[TrainState, Dict[str, Array]]:
         rngs = jax.random.split(rng, accum_steps)
 
         if accum_steps == 1:
             # no accumulator round-trip at all
             micro = jax.tree.map(lambda x: x[0], batch)
-            (loss, probs), grads = grad_fn(state.params, micro, rngs[0])
+            (loss, probs), grads = grad_fn(state.params, micro, rngs[0], data)
             losses, probs = loss[None], probs[None]
         else:
             # seed the accumulator with micro 0's grads — skips the
             # zero-init + first add (a full fp32 param-sized HBM round-trip)
             first = jax.tree.map(lambda x: x[0], batch)
-            (loss0, probs0), grad_acc = grad_fn(state.params, first, rngs[0])
+            (loss0, probs0), grad_acc = grad_fn(state.params, first, rngs[0],
+                                                data)
             rest = jax.tree.map(lambda x: x[1:], batch)
 
             def scan_body(carry, xs):
                 grad_acc = carry
                 micro_batch, micro_rng = xs
                 (loss, probs), grads = grad_fn(state.params, micro_batch,
-                                               micro_rng)
+                                               micro_rng, data)
                 grad_acc = jax.tree.map(jnp.add, grad_acc, grads)
                 return grad_acc, (loss, probs)
 
@@ -99,14 +125,19 @@ def make_train_step(
     return jax.jit(train_step, donate_argnums=(0,) if donate else ())
 
 
-def make_eval_step(model_apply_eval: Callable, probs_fn: Callable):
+def make_eval_step(model_apply_eval: Callable, probs_fn: Callable,
+                   gather_data: bool = False):
     """Jitted eval step: batch → probabilities (no grads, no dropout).
 
     ``model_apply_eval(params, batch)`` → logits;
     ``probs_fn(logits)`` → probabilities (sigmoid / softmax per loss mode).
+    ``gather_data=True``: the step takes ``data`` and the batch carries
+    ``indices`` + ``sample_mask`` (device-resident pipeline).
     """
 
-    def eval_step(params, batch):
+    def eval_step(params, batch, data=None):
+        if gather_data:
+            batch = gather_micro(data, batch)
         logits = model_apply_eval(params, batch)
         return probs_fn(logits)
 
@@ -114,8 +145,17 @@ def make_eval_step(model_apply_eval: Callable, probs_fn: Callable):
 
 
 def stack_for_accum(batches: list) -> Dict[str, Array]:
-    """Stack ``accum`` host micro-batches into one [accum, ...] device batch."""
+    """Stack ``accum`` host micro-batches into one [accum, ...] batch.
+
+    Stays in NUMPY: the arrays upload as arguments of the single jitted
+    step call. Building them with per-leaf ``jnp.asarray`` + ``jnp.stack``
+    issues ~3 relay round trips per leaf per step on the axon tunnel
+    (measured: the pretrain driver loop ran at 19 memes/s vs 802 for the
+    step alone before this was fixed, r3).
+    """
+    import numpy as np
+
     out: Dict[str, Array] = {}
     for key in batches[0]:
-        out[key] = jnp.stack([jnp.asarray(b[key]) for b in batches], axis=0)
+        out[key] = np.stack([np.asarray(b[key]) for b in batches], axis=0)
     return out

@@ -109,19 +109,23 @@ def build_entry(config: TrainConfig, uniter_config: UniterConfig,
         img_dim=uniter_config.img_dim,
     )
 
+    idx = config.device_resident_data  # HBM-resident datasets, on-device
+    # micro-batch gather (train/steps.py:gather_micro)
+
     def train_data_loader(path):
         ds = MemeDataset(path, **ds_kwargs)
         sampler = ConfounderSampler(ds,
                                     repeat_factor=config.confounder_repeat)
-        return BatchLoader(ds, config.batch_size, sampler=sampler)
+        return BatchLoader(ds, config.batch_size, sampler=sampler,
+                           index_batches=idx)
 
     def val_data_loader(path):
         ds = MemeDataset(path, **ds_kwargs)
-        return BatchLoader(ds, config.batch_size)
+        return BatchLoader(ds, config.batch_size, index_batches=idx)
 
     def test_data_loader(path):
         ds = MemeDataset(path, return_ids=True, **ds_kwargs)
-        return BatchLoader(ds, config.batch_size)
+        return BatchLoader(ds, config.batch_size, index_batches=idx)
 
     loader_funcs = {"train": train_data_loader, "val": val_data_loader,
                     "test": test_data_loader}
@@ -134,7 +138,15 @@ def build_entry(config: TrainConfig, uniter_config: UniterConfig,
             test_loaders.append(test_data_loader(path))
 
     def trainer_factory(cfg, train_loader, val_loader, fold_test_loaders):
-        example = next(iter(val_loader))
+        if getattr(val_loader, "index_batches", False):
+            # index loaders carry no model inputs; materialize one host
+            # batch for parameter-shape init
+            n = min(cfg.batch_size, len(val_loader.dataset))
+            example = val_loader.dataset.batch(np.arange(n))
+            example["sample_mask"] = np.ones(n, np.int32)
+        else:
+            example = next(iter(val_loader))
+        example = dict(example)
         example.pop("ids", None)
         params = init_meme_uniter_params(
             model, uniter_config, cfg, jax.random.PRNGKey(cfg.seed), example)

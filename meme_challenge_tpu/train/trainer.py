@@ -118,15 +118,29 @@ class Trainer:
             return self.model.apply({"params": params_}, batch,
                                     deterministic=True)
 
+        # device-resident data (train/steps.py:gather_micro): loaders built
+        # with ``index_batches=True`` yield index batches; their dataset is
+        # uploaded to HBM once and micro-batches gather on device. Detected
+        # per loader so index-mode and host-batch loaders can mix.
+        self._gather_train = bool(getattr(train_loader, "index_batches",
+                                          False))
+        self._dataset_device_cache: Dict[int, dict] = {}
         self.train_step = make_train_step(
             model_apply_train, self.loss_fn, self.tx,
-            accum_steps=c.gradient_accumulation)
+            accum_steps=c.gradient_accumulation,
+            gather_data=self._gather_train)
         if c.loss_func == "ce":
             probs_fn = lambda lg: jax.nn.softmax(lg.astype(jnp.float32), -1)
         else:
             probs_fn = lambda lg: jax.nn.sigmoid(
                 lg.reshape(lg.shape[0], -1)[:, 0].astype(jnp.float32))
-        self.eval_step = make_eval_step(model_apply_eval, probs_fn)
+        # both variants exist; jit compiles lazily so the unused one is free
+        self._eval_steps = {
+            False: make_eval_step(model_apply_eval, probs_fn),
+            True: make_eval_step(model_apply_eval, probs_fn,
+                                 gather_data=True),
+        }
+        self.eval_step = self._eval_steps[False]
 
         self.root_rng = prng_key(c.seed)
         # early-stopping state (reference train_template.py:29-36)
@@ -148,6 +162,17 @@ class Trainer:
                              c.model_save_name.rsplit(".", 1)[0]))
 
     # ------------------------------------------------------------------ train
+
+    def _data_for(self, loader) -> Optional[dict]:
+        """Device-resident dataset arrays for an index-mode loader (uploaded
+        once per dataset, cached); None for host-batch loaders."""
+        if not getattr(loader, "index_batches", False):
+            return None
+        key = id(loader.dataset)
+        if key not in self._dataset_device_cache:
+            self._dataset_device_cache[key] = jax.device_put(
+                loader.dataset.device_arrays())
+        return self._dataset_device_cache[key]
 
     def _device_batches(self, loader: BatchLoader):
         """Group host micro-batches into [accum, ...] device batches."""
@@ -175,11 +200,12 @@ class Trainer:
             epoch_probs, epoch_labels, epoch_masks, losses = [], [], [], []
             epoch_start = time.time()
             n_steps = 0
+            train_data = self._data_for(self.train_loader)
             for device_batch in self._device_batches(self.train_loader):
                 step_rng = jax.random.fold_in(
                     self.root_rng, int(self.state.step))
                 self.state, out = self.train_step(
-                    self.state, device_batch, step_rng)
+                    self.state, device_batch, step_rng, train_data)
                 # keep DEVICE arrays in-flight — a per-step np.asarray would
                 # force a host sync every iteration and serialize host batch
                 # prep with device compute (the outputs are tiny [accum, B]
@@ -255,9 +281,11 @@ class Trainer:
 
     def eval_model(self, loader: BatchLoader):
         probs_list, labels_list = [], []
+        gather = bool(getattr(loader, "index_batches", False))
+        step, data = self._eval_steps[gather], self._data_for(loader)
         for batch in loader:
             mask = batch["sample_mask"].astype(bool)
-            probs = np.asarray(self.eval_step(self.state.params, batch))
+            probs = np.asarray(step(self.state.params, batch, data))
             probs_list.append(probs[mask])
             labels_list.append(batch["labels"][mask])
         probs = np.concatenate(probs_list)
@@ -274,9 +302,11 @@ class Trainer:
     def predict(self, loader: BatchLoader):
         """Probabilities + ids over a loader (reference export path)."""
         probs_list, ids_list, labels_list = [], [], []
+        gather = bool(getattr(loader, "index_batches", False))
+        step, data = self._eval_steps[gather], self._data_for(loader)
         for batch in loader:
             mask = batch["sample_mask"].astype(bool)
-            probs = np.asarray(self.eval_step(self.state.params, batch))
+            probs = np.asarray(step(self.state.params, batch, data))
             probs_list.append(probs[mask])
             ids_list.append(batch["ids"][mask])
             labels_list.append(batch["labels"][mask])

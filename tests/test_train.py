@@ -232,3 +232,67 @@ def test_bce_loss_mode_trains(synth, tmp_path):
     best_val, _ = trainer.train_main()
     assert "aucroc" in best_val and np.isfinite(best_val["aucroc"])
     assert (tmp_path / "ckpt" / "bce_metrics.json").exists()
+
+
+def test_device_resident_data_matches_host_batches(synth, tmp_path):
+    """index_batches loaders + on-device gather (device-resident pipeline)
+    reproduce the host-batch Trainer pointwise: same training trajectory,
+    same val probabilities."""
+    import os
+
+    from meme_challenge_tpu.core.seeding import set_seed
+    from meme_challenge_tpu.data.meme_dataset import BatchLoader, MemeDataset
+    from meme_challenge_tpu.data.tokenizer import BertTokenizer
+    from meme_challenge_tpu.models.uniter import MemeUniter
+    from meme_challenge_tpu.train.trainer import Trainer
+
+    ucfg, tcfg = _tiny_configs(synth, tmp_path, max_epoch=2,
+                               model_save_name="devres.ckpt")
+    tok = BertTokenizer(synth["vocab"])
+    kwargs = dict(feature_dir=synth["feature_dir"], tokenizer=tok,
+                  max_txt_len=12, max_bb=16, img_dim=32)
+    model = MemeUniter(ucfg, n_classes=1)
+
+    def run(index_batches):
+        set_seed(tcfg.seed)
+        train = BatchLoader(MemeDataset(
+            os.path.join(synth["root"], "train.jsonl"), **kwargs), 8,
+            index_batches=index_batches)
+        val = BatchLoader(MemeDataset(
+            os.path.join(synth["root"], "dev_seen.jsonl"), **kwargs), 8,
+            index_batches=index_batches)
+        example = dict(next(iter(BatchLoader(train.dataset, 8))))
+        example.pop("ids", None)
+        params = model.init(jax.random.PRNGKey(0), example,
+                            deterministic=True)["params"]
+        trainer = Trainer(tcfg, model, jax.tree.map(np.copy, params),
+                          train, val, [])
+        best, _ = trainer.train_main()
+        probs, ids, _ = trainer.predict(val)
+        return best, probs, ids
+
+    host_best, host_probs, host_ids = run(False)
+    dev_best, dev_probs, dev_ids = run(True)
+    np.testing.assert_array_equal(host_ids, dev_ids)
+    np.testing.assert_allclose(dev_probs, host_probs, atol=2e-6)
+    assert dev_best["aucroc"] == pytest.approx(host_best["aucroc"], abs=1e-6)
+
+
+def test_single_fold_device_resident_cli_path(synth, tmp_path):
+    """build_entry --device_resident_data: index-mode loaders flow through
+    the crossval driver, training works, artifacts export."""
+    from meme_challenge_tpu.core.seeding import set_seed
+    from meme_challenge_tpu.train.crossval_driver import train_crossval
+    from meme_challenge_tpu.train.train_uniter import build_entry
+
+    ucfg, tcfg = _tiny_configs(synth, tmp_path, max_epoch=2,
+                               device_resident_data=True,
+                               model_save_name="devres_cli.ckpt")
+    set_seed(tcfg.seed)
+    loader_funcs, test_loaders, trainer_factory = build_entry(
+        tcfg, ucfg, synth["vocab"])
+    assert all(getattr(l, "index_batches", False) for l in test_loaders)
+    val_metrics, test_metrics = train_crossval(
+        trainer_factory, tcfg, loader_funcs, test_loaders, num_folds=0)
+    assert val_metrics["aucroc"] > 0.8, val_metrics
+    assert (tmp_path / "ckpt" / "devres_cli_dev_unseen_preds.csv").exists()
