@@ -107,6 +107,20 @@ class FoldParallelTrainer:
             step=jnp.zeros((self.num_folds,), jnp.int32))
         self.best_params = jax.tree.map(jnp.copy, params_stacked)
 
+        # device-resident data (steps.gather_micro): index-mode loaders →
+        # per-fold datasets stacked [F, N_max, ...] and uploaded ONCE
+        # (fold-sharded on a mesh), per step only [F, accum, B] indices
+        # cross the host link
+        self._gather = bool(getattr(train_loaders[0], "index_batches",
+                                    False))
+        assert all(bool(getattr(l, "index_batches", False)) == self._gather
+                   for l in train_loaders + val_loaders), (
+            "mix of index-mode and host-batch fold loaders")
+        self._train_data = (self._stack_fold_data(train_loaders)
+                            if self._gather else None)
+        self._val_data = (self._stack_fold_data(val_loaders)
+                          if self._gather else None)
+
         self._build_steps()
         if mesh is not None:
             self._shard_state()
@@ -128,14 +142,41 @@ class FoldParallelTrainer:
 
     # ------------------------------------------------------------- jit steps
 
+    def _stack_fold_data(self, loaders):
+        """Per-fold dataset arrays stacked [F, N_max, ...] (shorter folds
+        zero-padded — padding rows are never indexed) and uploaded once,
+        fold-sharded when a mesh is set."""
+        per = [l.dataset.device_arrays() for l in loaders]
+        n_max = max(next(iter(d.values())).shape[0] for d in per)
+
+        def pad(a):
+            a = np.asarray(a)
+            if a.shape[0] == n_max:
+                return a
+            out = np.zeros((n_max,) + a.shape[1:], a.dtype)
+            out[:a.shape[0]] = a
+            return out
+
+        stacked = {k: np.stack([pad(d[k]) for d in per]) for k in per[0]}
+        if self.mesh is not None:
+            sh = NamedSharding(self.mesh, P("fold"))
+            return {k: jax.device_put(v, sh) for k, v in stacked.items()}
+        return {k: jax.device_put(v) for k, v in stacked.items()}
+
     def _build_steps(self):
+        from meme_challenge_tpu.train.steps import gather_micro
+
         c = self.config
         accum = c.gradient_accumulation
         model = self.model
         loss_fn = self.loss_fn
         tx = self.tx
+        gather = self._gather
+        data_axis = 0 if gather else None
 
-        def micro_loss(params, micro_batch, rng):
+        def micro_loss(params, micro_batch, rng, data):
+            if gather:
+                micro_batch = gather_micro(data, micro_batch)
             logits = model.apply({"params": params}, micro_batch,
                                  deterministic=False, rngs={"dropout": rng})
             loss, probs = loss_fn(logits, micro_batch["labels"],
@@ -144,13 +185,13 @@ class FoldParallelTrainer:
 
         grad_fn = jax.value_and_grad(micro_loss, has_aux=True)
 
-        def fold_update(state: TrainState, batch, rng):
+        def fold_update(state: TrainState, batch, rng, data):
             rngs = jax.random.split(rng, accum)
 
             def scan_body(grad_acc, xs):
                 micro_batch, micro_rng = xs
                 (loss, probs), grads = grad_fn(state.params, micro_batch,
-                                               micro_rng)
+                                               micro_rng, data)
                 return jax.tree.map(jnp.add, grad_acc, grads), (loss, probs)
 
             zeros = jax.tree.map(
@@ -163,10 +204,12 @@ class FoldParallelTrainer:
             return (TrainState(new_params, new_opt, state.step + 1),
                     {"loss": losses, "probs": probs})
 
-        vm = jax.vmap(fold_update)
+        vm = jax.vmap(fold_update, in_axes=(0, 0, 0, data_axis))
         self._train_step = jax.jit(vm, donate_argnums=(0,))
 
-        def fold_eval(params, batch):
+        def fold_eval(params, batch, data):
+            if gather:
+                batch = gather_micro(data, batch)
             logits = model.apply({"params": params}, batch,
                                  deterministic=True)
             if c.loss_func == "ce":
@@ -174,11 +217,14 @@ class FoldParallelTrainer:
             return jax.nn.sigmoid(
                 logits.reshape(logits.shape[0], -1)[:, 0].astype(jnp.float32))
 
-        self._eval_step = jax.jit(jax.vmap(fold_eval))
+        self._eval_step = jax.jit(
+            jax.vmap(fold_eval, in_axes=(0, 0, data_axis)))
         # shared-batch variant: one [B, ...] batch broadcast over the fold
-        # axis on device (in_axes=(0, None)) — H2D bytes independent of F
-        self._eval_step_shared = jax.jit(jax.vmap(fold_eval,
-                                                  in_axes=(0, None)))
+        # axis on device (in_axes=(0, None)) — H2D bytes independent of F.
+        # With gather, the shared loader's dataset is one UNSTACKED array
+        # set shared by every fold.
+        self._eval_step_shared = jax.jit(
+            jax.vmap(fold_eval, in_axes=(0, None, None)))
 
         def snapshot(best, current, improved_mask):
             def upd(b, p):
@@ -268,7 +314,9 @@ class FoldParallelTrainer:
                     b.pop("ids", None)
                     group.append(b)
                 fold_groups.append(stack_for_accum(group))
-            yield {k: jnp.stack([g[k] for g in fold_groups], axis=0)
+            # numpy stack: leaves upload inside the one train-step dispatch
+            # (steps.stack_for_accum note — per-leaf jnp ops pay relay RTs)
+            yield {k: np.stack([g[k] for g in fold_groups], axis=0)
                    for k in fold_groups[0]}
 
     def train_main(self, checkpoint_path: Optional[str] = None
@@ -290,7 +338,7 @@ class FoldParallelTrainer:
                 fold_rngs = jax.vmap(jax.random.fold_in)(
                     self.fold_roots, self.state.step)
                 self.state, out = self._train_step(
-                    self.state, device_batch, fold_rngs)
+                    self.state, device_batch, fold_rngs, self._train_data)
 
             metrics_per_fold = self.eval_folds()
             self._early_stopping_update(metrics_per_fold)
@@ -322,11 +370,12 @@ class FoldParallelTrainer:
                     batches.append(b)
             except StopIteration:
                 break
-            device_batch = {k: jnp.stack(
-                [jnp.asarray(b[k]) for b in batches], axis=0)
+            device_batch = {k: np.stack(
+                [np.asarray(b[k]) for b in batches], axis=0)
                 for k in batches[0]}
             probs = np.asarray(self._eval_step(self.state.params,
-                                               device_batch))
+                                               device_batch,
+                                               self._val_data))
             for f in range(self.num_folds):
                 mask = batches[f]["sample_mask"].astype(bool)
                 probs_per_fold[f].append(probs[f][mask])
@@ -469,8 +518,13 @@ class FoldParallelTrainer:
         reference train_template.py:157-192 export path), each batch is
         uploaded once and broadcast over the fold axis on device instead of
         stacking F byte-identical copies through the host link."""
+        pred_gather = bool(getattr(loaders[0], "index_batches", False))
+        assert pred_gather == self._gather, (
+            "predict loaders must match the trainer's batch mode "
+            "(index_batches)")
         if len(loaders) > 1 and all(l is loaders[0] for l in loaders):
             return self._predict_shared(loaders[0])
+        pred_data = self._stack_fold_data(loaders) if pred_gather else None
         saved = self.state
         self.state = self.state._replace(params=self.best_params)
         try:
@@ -488,7 +542,7 @@ class FoldParallelTrainer:
                     [np.asarray(b[k]) for b in batches], axis=0)
                     for k in batches[0] if k != "ids"}
                 probs = np.asarray(self._eval_step(self.state.params,
-                                                   device_batch))
+                                                   device_batch, pred_data))
                 for f in range(self.num_folds):
                     mask = batches[f]["sample_mask"].astype(bool)
                     probs_per_fold[f].append(probs[f][mask])
@@ -504,6 +558,8 @@ class FoldParallelTrainer:
         broadcast) eval step."""
         saved = self.state
         self.state = self.state._replace(params=self.best_params)
+        shared_data = (jax.device_put(loader.dataset.device_arrays())
+                       if self._gather else None)
         try:
             probs_chunks, ids_chunks = [], []
             for batch in loader:
@@ -511,7 +567,7 @@ class FoldParallelTrainer:
                 ids = b.pop("ids")
                 device_batch = {k: np.asarray(v) for k, v in b.items()}
                 probs = np.asarray(self._eval_step_shared(
-                    self.state.params, device_batch))        # [F, B]
+                    self.state.params, device_batch, shared_data))  # [F, B]
                 mask = batch["sample_mask"].astype(bool)
                 probs_chunks.append(probs[:, mask])
                 ids_chunks.append(np.asarray(ids)[mask])

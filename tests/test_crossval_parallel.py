@@ -169,3 +169,55 @@ def test_eight_folds_one_per_device(tmp_path):
     # each device owns exactly one fold slice of the params
     leaf = jax.tree.leaves(trainer.state.params)[0]
     assert len(leaf.sharding.device_set) == 8
+
+
+def test_fold_parallel_crossval_device_resident(tmp_path):
+    """Full fold-parallel crossval driver with index-mode loaders on a
+    fold×data mesh: stacked HBM-resident datasets, per-fold artifacts and
+    ensemble export all work."""
+    synth = make_synthetic_dataset(str(tmp_path / "d"), n_train=40, n_dev=16,
+                                   n_test=8, img_dim=32, label_signal=3.0)
+    tok = BertTokenizer(synth["vocab"])
+    ucfg = UniterConfig(vocab_size=tok.vocab_size, hidden_size=32,
+                        num_hidden_layers=2, num_attention_heads=2,
+                        intermediate_size=64, img_dim=32,
+                        max_position_embeddings=32)
+    model = MemeUniter(ucfg, n_classes=1)
+    cfg = TrainConfig(
+        data_path=synth["root"], feature_path=synth["feature_dir"],
+        model_path=str(tmp_path / "ck"), model_save_name="fpdr.ckpt",
+        lr=3e-3, batch_size=8, max_epoch=2, patience=4, warmup_steps=2,
+        gradient_accumulation=1, max_txt_len=12, max_bb=16, seed=43,
+        crossval_dev_size=8, device_resident_data=True)
+
+    kwargs = dict(feature_dir=synth["feature_dir"], tokenizer=tok,
+                  max_txt_len=12, max_bb=16, img_dim=32)
+    loader_funcs = {
+        "train": lambda p: BatchLoader(MemeDataset(p, **kwargs), 8,
+                                       shuffle_data=True,
+                                       index_batches=True),
+        "val": lambda p: BatchLoader(MemeDataset(p, **kwargs), 8,
+                                     index_batches=True),
+        "test": lambda p: BatchLoader(
+            MemeDataset(p, return_ids=True, **kwargs), 8,
+            index_batches=True),
+    }
+    test_loaders = [loader_funcs["test"](
+        os.path.join(synth["root"], "dev_seen.jsonl"))]
+
+    def init_params_fn(seed, example):
+        return model.init(jax.random.PRNGKey(seed), example,
+                          deterministic=True)["params"]
+
+    os.makedirs(cfg.model_path, exist_ok=True)
+    set_seed(cfg.seed)
+    mesh = make_mesh((2, 4), ("fold", "data"))
+    results = train_crossval_fold_parallel(
+        cfg, model, init_params_fn, loader_funcs, test_loaders,
+        num_folds=2, dev_size=8, use_dev_set=False, mesh=mesh,
+        ea_generations=2)
+    assert len(results["val_metrics"]) == 2
+    assert all(np.isfinite(m["aucroc"]) for m in results["val_metrics"])
+    for f in range(2):
+        assert (tmp_path / "ck" / f"fpdr_fold_{f}_dev_seen_preds.csv"
+                ).exists()

@@ -253,3 +253,33 @@ def test_predict_folds_shared_loader_broadcast(setup):
         np.testing.assert_array_equal(ids_shared[f], ids_stacked[f])
         np.testing.assert_allclose(probs_shared[f], probs_stacked[f],
                                    atol=1e-6)
+
+
+def test_fold_parallel_device_resident_matches_host_batches(setup):
+    """Index-mode fold loaders (device-resident stacked datasets, on-device
+    gather) reproduce host-batch fold-parallel training pointwise, incl.
+    the shared-loader broadcast export path."""
+    model, cfg, loaders = setup
+    F = 2
+
+    def run(index_batches):
+        set_seed(cfg.seed)
+        train_l, val_l = loaders()
+        train_l.index_batches = index_batches
+        val_l.index_batches = index_batches
+        params = _init_params(model, cfg, BatchLoader(val_l.dataset, 8))
+        stacked = jax.tree.map(
+            lambda x: np.stack([np.asarray(x)] * F), params)
+        par = FoldParallelTrainer(cfg.replace(max_epoch=2), model, stacked,
+                                  [train_l] * F, [val_l] * F)
+        metrics = par.train_main()
+        shared_probs, shared_ids = par.predict_folds([val_l] * F)
+        return metrics, shared_probs, shared_ids
+
+    h_metrics, h_probs, h_ids = run(False)
+    d_metrics, d_probs, d_ids = run(True)
+    for f in range(F):
+        assert d_metrics[f]["aucroc"] == pytest.approx(
+            h_metrics[f]["aucroc"], abs=1e-6)
+        np.testing.assert_array_equal(h_ids[f], d_ids[f])
+        np.testing.assert_allclose(d_probs[f], h_probs[f], atol=2e-6)

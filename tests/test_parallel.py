@@ -146,8 +146,10 @@ def test_fold_sharded_matches_single_device(synth, tmp_path):
                                    train_loaders, val_loaders, mesh=None)
     batch = next(t_mesh._fold_device_batches())
     rngs = jax.random.split(jax.random.PRNGKey(9), n_folds)
-    s_mesh, out_mesh = t_mesh._train_step(t_mesh.state, batch, rngs)
-    s_nomesh, out_nomesh = t_nomesh._train_step(t_nomesh.state, batch, rngs)
+    s_mesh, out_mesh = t_mesh._train_step(t_mesh.state, batch, rngs,
+                                          t_mesh._train_data)
+    s_nomesh, out_nomesh = t_nomesh._train_step(
+        t_nomesh.state, batch, rngs, t_nomesh._train_data)
     np.testing.assert_allclose(np.asarray(out_mesh["loss"]),
                                np.asarray(out_nomesh["loss"]), atol=1e-5)
     leaves_m = jax.tree.leaves(s_mesh.params)
@@ -189,3 +191,46 @@ def test_fold_data_model_3axis_training(synth, tmp_path):
     fold_metrics = trainer.train_main()
     assert len(fold_metrics) == n_folds
     assert all(np.isfinite(m["aucroc"]) for m in fold_metrics)
+
+
+def test_fold_sharded_device_resident_data(synth, tmp_path):
+    """Index-mode fold loaders on a fold×data mesh: stacked datasets are
+    fold-sharded in HBM, the gathered train step matches the host-batch
+    step numerically, and eval works end-to-end."""
+    n_folds = 2
+    model = MemeUniter(UCFG, n_classes=1)
+    train_h, val_h = _loaders(synth, n_folds)
+    train_i, val_i = _loaders(synth, n_folds)
+    for l in train_i + val_i:
+        l.index_batches = True
+    example = next(iter(val_h[0]))
+    example.pop("ids")
+    keys = jax.random.split(jax.random.PRNGKey(3), n_folds)
+    params_stacked = jax.vmap(
+        lambda k: model.init(k, example, deterministic=True)["params"])(keys)
+    cfg = TrainConfig(model_path=str(tmp_path), lr=1e-3, batch_size=8,
+                      max_epoch=1, gradient_accumulation=1, warmup_steps=2,
+                      seed=0)
+    mesh = make_mesh((2, 4), ("fold", "data"))
+    t_idx = FoldParallelTrainer(cfg, model, params_stacked,
+                                train_i, val_i, mesh=mesh)
+    t_host = FoldParallelTrainer(cfg, model, params_stacked,
+                                 train_h, val_h, mesh=None)
+    # the fold-sharded stacked data really is sharded over the fold axis
+    feat = t_idx._train_data["img_feat"]
+    assert feat.sharding.spec[0] == "fold", feat.sharding.spec
+    # shuffle_data loaders draw from the global python RNG: realign streams
+    from meme_challenge_tpu.core.seeding import set_seed
+    set_seed(0)
+    batch_i = next(t_idx._fold_device_batches())
+    set_seed(0)
+    batch_h = next(t_host._fold_device_batches())
+    rngs = jax.random.split(jax.random.PRNGKey(9), n_folds)
+    s_i, out_i = t_idx._train_step(t_idx.state, batch_i, rngs,
+                                   t_idx._train_data)
+    s_h, out_h = t_host._train_step(t_host.state, batch_h, rngs, None)
+    np.testing.assert_allclose(np.asarray(out_i["loss"]),
+                               np.asarray(out_h["loss"]), atol=1e-5)
+    t_idx.state = s_i
+    metrics = t_idx.eval_folds()
+    assert all(np.isfinite(m["aucroc"]) for m in metrics)
