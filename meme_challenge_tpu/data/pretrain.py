@@ -186,10 +186,13 @@ class MRFRBatcher:
             if not any(flags):
                 flags[random.choice(range(nbb))] = True
             img_masks[i, :nbb] = np.asarray(flags, dtype=np.int32)
-        feat = batch["img_feat"]
-        out["feat_targets"] = feat
-        out["img_feat"] = np.where(img_masks[..., None].astype(bool), 0.0,
-                                   feat)
+        if "img_feat" in batch:
+            feat = batch["img_feat"]
+            out["feat_targets"] = feat
+            out["img_feat"] = np.where(img_masks[..., None].astype(bool),
+                                       0.0, feat)
+        # index-mode batches carry no features: zeroing + targets happen on
+        # device from the HBM-resident arrays (pretrain_driver._task_loss)
         out["img_masks"] = img_masks
         return out
 
@@ -209,7 +212,7 @@ class MRCBatcher:
     def __call__(self, batch: Dict[str, np.ndarray],
                  indices: np.ndarray) -> Dict[str, np.ndarray]:
         out = self._mrfr(batch)
-        del out["feat_targets"]
+        out.pop("feat_targets", None)  # absent in index-mode batches
         B, R = batch["img_mask"].shape
         labels = np.zeros((B, R, self.label_dim), dtype=np.float32)
         for row, idx in enumerate(indices):
@@ -226,12 +229,18 @@ class TaskLoader:
     """One pretraining task = corpus loader + batcher; yields task batches."""
 
     def __init__(self, name: str, dataset: MemeDataset, batch_size: int,
-                 batcher, needs_indices: bool = False):
+                 batcher, needs_indices: bool = False,
+                 index_batches: bool = False):
         self.name = name
         self.dataset = dataset
         self.batch_size = batch_size
         self.batcher = batcher
         self.needs_indices = needs_indices
+        # index_batches: the base batch carries only the (tiny) text-side
+        # arrays + img_mask + indices; features stay HBM-resident and the
+        # driver gathers them on device (train/steps.gather_micro). The
+        # batchers' host RNG draws are IDENTICAL in both modes.
+        self.index_batches = index_batches
 
     def __len__(self) -> int:
         return (len(self.dataset) + self.batch_size - 1) // self.batch_size
@@ -240,15 +249,25 @@ class TaskLoader:
         order = list(range(len(self.dataset)))
         random.shuffle(order)
         bs = self.batch_size
+        ds = self.dataset
         for start in range(0, len(order), bs):
             chunk = np.asarray(order[start:start + bs])
             valid = chunk.shape[0]
             if valid < bs:
                 chunk = np.concatenate(
                     [chunk, np.full(bs - valid, chunk[0], dtype=np.int64)])
-            batch = self.dataset.batch(chunk)
-            batch.pop("ids", None)
-            batch.pop("labels", None)
+            if self.index_batches:
+                batch = {
+                    "input_ids": ds.input_ids[chunk].copy(),
+                    "position_ids": ds.position_ids[chunk],
+                    "txt_mask": ds.txt_mask[chunk].copy(),
+                    "img_mask": ds.img_mask[chunk],
+                    "indices": chunk.astype(np.int32),
+                }
+            else:
+                batch = ds.batch(chunk)
+                batch.pop("ids", None)
+                batch.pop("labels", None)
             mask = np.zeros(bs, dtype=np.int32)
             mask[:valid] = 1
             batch["sample_mask"] = mask

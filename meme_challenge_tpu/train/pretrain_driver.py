@@ -39,8 +39,28 @@ logger = logging.getLogger("meme_challenge_tpu.pretrain")
 
 
 def _task_loss(model: UniterForPretraining, params, batch, task: str,
-               rng, ot_weight: float = 0.0):
-    """Scalar loss for one task micro-batch (masked means)."""
+               rng, ot_weight: float = 0.0, data=None):
+    """Scalar loss for one task micro-batch (masked means).
+
+    ``data``: HBM-resident dataset arrays for index-mode batches — features
+    are gathered on device (steps.gather_micro); the host-side task
+    augmentations (masked/replaced text, region masks) overlay them. MRFR's
+    feature zeroing + regression targets, which the host batcher derives
+    from materialized features, are computed in-graph here instead (same
+    math: targets = original features, input features zeroed at masked
+    regions — reference pretrain_mrfr.py:42-51).
+    """
+    if data is not None:
+        from meme_challenge_tpu.train.steps import gather_micro
+
+        batch = gather_micro(data, batch)
+        if (task == "mrfr" or task.startswith("mrc")) \
+                and "feat_targets" not in batch:
+            feats = batch["img_feat"].astype(jnp.float32)
+            zero_mask = batch["img_masks"].astype(jnp.float32)[..., None]
+            if task == "mrfr":
+                batch["feat_targets"] = feats
+            batch["img_feat"] = feats * (1.0 - zero_mask)
     variables = {"params": params}
     rngs = {"dropout": rng}
     # every task weights by sample_mask: TaskLoader pads the final batch by
@@ -98,12 +118,16 @@ class PretrainTrainer:
 
     def __init__(self, config: TrainConfig, model: UniterForPretraining,
                  params, meta_loader, steps_per_epoch: int,
-                 ot_weight: float = 0.0):
+                 ot_weight: float = 0.0, data_arrays=None):
         self.config = config
         self.model = model
         self.meta_loader = meta_loader
         self.steps_per_epoch = steps_per_epoch
         self.ot_weight = ot_weight
+        # device-resident corpus (TaskLoader index_batches=True): uploaded
+        # once, per step only text arrays + indices cross the host link
+        self.data = (jax.device_put(data_arrays)
+                     if data_arrays is not None else None)
 
         c = config
         schedule = make_schedule(
@@ -130,18 +154,18 @@ class PretrainTrainer:
         accum = self.config.gradient_accumulation
         ot_weight = self.ot_weight
 
-        def loss_fn(params, micro_batch, rng):
+        def loss_fn(params, micro_batch, rng, data):
             return _task_loss(model, params, micro_batch, task, rng,
-                              ot_weight)
+                              ot_weight, data)
 
         grad_fn = jax.value_and_grad(loss_fn)
 
-        def step(state: TrainState, batch, rng):
+        def step(state: TrainState, batch, rng, data=None):
             rngs = jax.random.split(rng, accum)
 
             def scan_body(acc, xs):
                 mb, r = xs
-                loss, grads = grad_fn(state.params, mb, r)
+                loss, grads = grad_fn(state.params, mb, r, data)
                 return jax.tree.map(jnp.add, acc, grads), loss
 
             zeros = jax.tree.map(
@@ -202,7 +226,8 @@ class PretrainTrainer:
                 for k in group[0]}
             rng = jax.random.fold_in(self.root_rng, opt_step)
             step_fn = self._get_task_step(task)
-            self.state, losses = step_fn(self.state, device_batch, rng)
+            self.state, losses = step_fn(self.state, device_batch, rng,
+                                         self.data)
             step_log.append((task, losses))
             if (opt_step + 1) % cadence == 0:
                 drain()

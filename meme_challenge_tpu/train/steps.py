@@ -45,10 +45,17 @@ def gather_micro(data: Dict[str, Array], micro_batch: Dict[str, Array]
     each step uploads only ``[accum, B]`` int32 indices + the padding mask —
     a few hundred bytes instead of the ~13 MB of features a b16×a2 batch
     streams host→device otherwise.
+
+    All non-``indices`` keys of the micro-batch OVERLAY the gathered arrays:
+    per-step host-side augmentations (masked MLM text, ITM-replaced text,
+    region masks — all tiny) ride along while the feature megabytes stay
+    resident.
     """
     idx = micro_batch["indices"]
     out = {k: jnp.take(v, idx, axis=0) for k, v in data.items()}
-    out["sample_mask"] = micro_batch["sample_mask"]
+    for k, v in micro_batch.items():
+        if k != "indices":
+            out[k] = v
     return out
 
 

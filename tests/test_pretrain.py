@@ -158,3 +158,60 @@ def test_pretrain_driver_losses_decrease(corpus, tmp_path):
     for task, v in losses.items():
         assert np.isfinite(v), (task, v)
     assert (tmp_path / "pre.ckpt").exists()
+
+
+def test_pretrain_device_resident_matches_host(corpus, tmp_path):
+    """Index-mode TaskLoaders (HBM-resident features, host text
+    augmentations overlay, in-graph MRFR/MRC feature zeroing) produce the
+    SAME per-step losses as the host-batch path — the batchers' RNG draws
+    are identical in both modes."""
+    from meme_challenge_tpu.models.uniter import UniterForPretraining
+    from meme_challenge_tpu.train.pretrain_driver import PretrainTrainer
+    from meme_challenge_tpu.train.pretrain_init import init_pretrain_params
+    import jax
+
+    ds, tok = corpus
+    ucfg = UniterConfig(vocab_size=tok.vocab_size, hidden_size=32,
+                        num_hidden_layers=2, num_attention_heads=2,
+                        intermediate_size=64, img_dim=32,
+                        max_position_embeddings=32,
+                        hidden_dropout_prob=0.0,
+                        attention_probs_dropout_prob=0.0)
+    model = UniterForPretraining(ucfg, img_label_dim=1601)
+    tcfg = TrainConfig(model_path=str(tmp_path), model_save_name="dr.ckpt",
+                       lr=2e-3, gradient_accumulation=2, max_epoch=1,
+                       warmup_steps=2, scheduler="warmup_cosine",
+                       adam_mu_dtype="float32", adam_nu_dtype="float32")
+
+    def make_loaders(index_batches):
+        return {
+            "mlm": TaskLoader("mlm", ds, 4, MLMBatcher(ds, tok),
+                              index_batches=index_batches),
+            "itm": TaskLoader("itm", ds, 4, ITMBatcher(ds),
+                              needs_indices=True,
+                              index_batches=index_batches),
+            "mrfr": TaskLoader("mrfr", ds, 4, MRFRBatcher(ds),
+                               index_batches=index_batches),
+            "mrc": TaskLoader("mrc", ds, 4, MRCBatcher(ds),
+                              needs_indices=True,
+                              index_batches=index_batches),
+        }
+
+    example = next(iter(TaskLoader("mlm", ds, 4, MLMBatcher(ds, tok))))
+    params = init_pretrain_params(model, jax.random.PRNGKey(0), example)
+
+    def run(index_batches):
+        random.seed(17)
+        meta = MetaLoader(make_loaders(index_batches), accum_steps=2)
+        data = ds.device_arrays() if index_batches else None
+        trainer = PretrainTrainer(
+            tcfg, model, jax.tree.map(np.copy, params), meta,
+            steps_per_epoch=12, data_arrays=data)
+        return trainer.train(total_steps=12, save_checkpoint=False)
+
+    host = run(False)
+    dev = run(True)
+    assert set(host) == set(dev)
+    for task in host:
+        assert dev[task] == pytest.approx(host[task], abs=2e-5), (
+            task, host[task], dev[task])
