@@ -35,7 +35,11 @@ logger = logging.getLogger("meme_challenge_tpu.train_oscar")
 
 
 class OscarBatchLoader(BatchLoader):
-    """Wraps batches with the 2054-d Oscar feature assembly."""
+    """Wraps batches with the 2054-d Oscar feature assembly.
+
+    Always host-batched: the per-batch 2048⊕6 feature concat happens here,
+    so ``device_resident_data`` is intentionally not wired for Oscar (the
+    gather path would bypass the assembly)."""
 
     def __iter__(self):
         for batch in super().__iter__():

@@ -61,7 +61,7 @@ def build_text_entry(config: TrainConfig, model_name: str, vocab_file: str,
             path = os.path.join(config.data_path, "dev_seen.jsonl")
         ds = MemeDataset(path, tokenizer=tokenizer, text_only=True,
                          max_txt_len=max_txt_len, return_ids=return_ids)
-        kw = {}
+        kw = {"index_batches": config.device_resident_data}
         if sampler:
             kw["sampler"] = ConfounderSampler(
                 ds, repeat_factor=config.confounder_repeat)
