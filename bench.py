@@ -530,7 +530,7 @@ def main():
     # this backend: the axon PJRT client doesn't serialize executables.)
     for name, fn, budget, retries in [
         ("finetune_loop_memes_per_sec", bench_finetune_loop,
-         EXTRA_TIMEOUT_S, 0),
+         EXTRA_TIMEOUT_S, 1),  # gather-variant step = its own compile
         ("inference_ms_batch16", bench_inference_p50, EXTRA_TIMEOUT_S, 0),
         ("text_only_bert_memes_per_sec", bench_text_only, EXTRA_TIMEOUT_S, 0),
         ("pretrain_memes_per_sec_by_task", bench_pretrain,
