@@ -53,7 +53,9 @@ T, R = 60, 100
 WARMUP_STEPS = 3
 TIMED_STEPS = 30
 EXTRA_TIMEOUT_S = 420  # per extra metric; remote compiles can stall
-PRETRAIN_TIMEOUT_S = EXTRA_TIMEOUT_S + 180  # 4 task compiles + driver loop
+PRETRAIN_TIMEOUT_S = 840  # 4 task compiles + the driver-loop compile; the
+                          # remote compile service has windows where a
+                          # single fresh HLO takes 3+ minutes
 
 
 class _Timeout(Exception):
@@ -395,46 +397,23 @@ def bench_pretrain():
             rates[task] = "timeout"
 
     def driver_loop():
-        """The full PretrainTrainer.train loop (host MLM masking + batch
-        stacking + logging syncs), not just the jitted step — the de-synced
-        loop should land within ~10% of the step-only mlm rate."""
+        """The full PretrainTrainer.train loop (host MLM masking, fresh
+        batch every step), not just the jitted step — DEVICE-RESIDENT mode:
+        features stay in HBM and only the masked text + indices cross the
+        host link per step. The host-STREAMING loop is not timed here: on
+        the axon relay's ~8-20 MB/s tunnel it is channel-bound at ~10-20
+        memes/s by upload bytes alone (measured r3, BASELINE.md) and its
+        extra compile would eat the metric budget; upload_mb_per_step keeps
+        that context legible."""
         import random as _random
 
         from meme_challenge_tpu.data.pretrain import mask_tokens_bert
 
         base = base_micro()
         special = (0, 101, 102)
-
-        def mlm_stream():
-            while True:
-                m = dict(base)
-                ids = m["input_ids"].copy()
-                labels = np.full_like(ids, -1)
-                for i in range(B):
-                    ids[i], labels[i] = mask_tokens_bert(
-                        base["input_ids"][i], base["txt_mask"][i], _random,
-                        0.15, 103, (999, ucfg.vocab_size), special)
-                m["input_ids"] = ids
-                m["txt_labels"] = labels
-                yield ("mlm", m)
-
-        stream = mlm_stream()
-        sample = next(stream)[1]
-        upload_mb = sum(np.asarray(v).nbytes
-                        for v in sample.values()) * ACCUM / 1e6
-        trainer.meta_loader = stream
-        trainer.train(total_steps=2, log_every=100,
-                      save_checkpoint=False)  # warm (mlm step already jitted)
-        n = 15
-        t0 = time.perf_counter()
-        trainer.train(total_steps=n, log_every=100, save_checkpoint=False)
-        # NOTE: unlike the step-only rates (one pre-uploaded batch reused),
-        # this loop uploads a FRESH batch every step — on the axon relay
-        # (~8-20 MB/s host→device) the channel, not the framework, is the
-        # ceiling for the host-streaming mode; upload_mb_per_step makes that
-        # legible. The device-resident mode keeps features in HBM and
-        # uploads only the masked text + indices per step.
-        streamed = B * ACCUM * n / (time.perf_counter() - t0)
+        upload_mb = sum(np.asarray(v).nbytes for v in
+                        dict(base, txt_labels=base["input_ids"]).values()
+                        ) * ACCUM / 1e6
 
         # device-resident corpus: features stay in HBM, MLM text overlays
         N = 512
@@ -466,12 +445,12 @@ def bench_pretrain():
                                    steps_per_epoch=100, ot_weight=0.1)
         trainer2.data = data
         trainer2.train(total_steps=2, log_every=100, save_checkpoint=False)
+        n = 15
         t0 = time.perf_counter()
         trainer2.train(total_steps=n, log_every=100, save_checkpoint=False)
         resident = B * ACCUM * n / (time.perf_counter() - t0)
-        return {"memes_per_sec_streamed": streamed,
-                "upload_mb_per_step_streamed": upload_mb,
-                "memes_per_sec_device_resident": resident}
+        return {"memes_per_sec_device_resident": resident,
+                "streamed_upload_mb_per_step": upload_mb}
 
     if isinstance(rates.get("mlm"), float) and \
             time.monotonic() < budget_end - 45:
@@ -534,7 +513,7 @@ def main():
         ("inference_ms_batch16", bench_inference_p50, EXTRA_TIMEOUT_S, 0),
         ("text_only_bert_memes_per_sec", bench_text_only, EXTRA_TIMEOUT_S, 0),
         ("pretrain_memes_per_sec_by_task", bench_pretrain,
-         EXTRA_TIMEOUT_S + 180, 0),
+         PRETRAIN_TIMEOUT_S, 0),
         ("uniter_large_memes_per_sec", bench_uniter_large, 600, 1),
         ("extraction_sec_per_img", bench_extraction, EXTRA_TIMEOUT_S, 0),
     ]:
