@@ -165,10 +165,12 @@ def bench_finetune_loop():
     a fresh batch of indices every step (host shuffling), model inputs
     gathered on device from a corpus preloaded to HBM once
     (steps.gather_micro). Unlike the headline (one pre-uploaded batch
-    reused), this measures the real per-step host→device path — which is
-    now index bytes, not feature megabytes, so the loop should land within
-    a few percent of the step-only rate even over the relay tunnel."""
-    from meme_challenge_tpu.train.steps import make_train_step
+    reused), this measures the real per-step host→device path. Two modes:
+    ``chunked_k8`` is the Trainer's default dispatch (8 optimizer steps per
+    jitted lax.scan call — one relay RTT per 8 steps), ``per_step_dispatch``
+    the K=1 path."""
+    from meme_challenge_tpu.train.steps import (
+        make_train_multi_step, make_train_step)
 
     ucfg = UniterConfig(dtype="bfloat16", **PERF_STORAGE)
     tcfg = TrainConfig(lr=3e-5, batch_size=BATCH,
@@ -219,7 +221,29 @@ def bench_finetune_loop():
         state, out = step(state, idx_batch(),
                           jax.random.fold_in(root, 100 + i), data)
     np.asarray(out["loss"])
-    return BATCH * ACCUM * TIMED_STEPS / (time.perf_counter() - t0)
+    per_step = BATCH * ACCUM * TIMED_STEPS / (time.perf_counter() - t0)
+
+    # the Trainer's default for index loaders: 8 steps per dispatch
+    K = 8
+    multi = make_train_multi_step(
+        apply_train, make_loss_fn("bce_logits", 1.8), tx,
+        accum_steps=ACCUM, steps_per_dispatch=K, gather_data=True)
+
+    def idx_chunk():
+        return {
+            "indices": rng.randint(0, N, (K, ACCUM, BATCH)).astype(np.int32),
+            "sample_mask": np.ones((K, ACCUM, BATCH), np.int32)}
+
+    for _ in range(2):
+        state, out = multi(state, idx_chunk(), root, data)
+        np.asarray(out["loss"])
+    n_chunks = 4
+    t0 = time.perf_counter()
+    for _ in range(n_chunks):
+        state, out = multi(state, idx_chunk(), root, data)
+    np.asarray(out["loss"])
+    chunked = BATCH * ACCUM * K * n_chunks / (time.perf_counter() - t0)
+    return {"chunked_k8": chunked, "per_step_dispatch": per_step}
 
 
 def bench_inference_p50():
@@ -407,7 +431,8 @@ def bench_pretrain():
         that context legible."""
         import random as _random
 
-        from meme_challenge_tpu.data.pretrain import mask_tokens_bert
+        from meme_challenge_tpu.data.pretrain import (
+            _batch_rng, mask_tokens_bert_batch)
 
         base = base_micro()
         special = (0, 101, 102)
@@ -423,14 +448,14 @@ def bench_pretrain():
              "txt_mask", "img_mask")}
 
         def mlm_index_stream():
+            # vectorized masking — the MLMBatcher default since r3b; the
+            # per-token python path cost ~2 ms/batch of the loop budget
             step_i = 0
             while True:
-                ids = base["input_ids"].copy()
-                labels = np.full_like(ids, -1)
-                for i in range(B):
-                    ids[i], labels[i] = mask_tokens_bert(
-                        base["input_ids"][i], base["txt_mask"][i], _random,
-                        0.15, 103, (999, ucfg.vocab_size), special)
+                ids, labels = mask_tokens_bert_batch(
+                    base["input_ids"], base["txt_mask"],
+                    _batch_rng(_random), 0.15, 103,
+                    (999, ucfg.vocab_size), special)
                 yield ("mlm", {
                     "input_ids": ids, "txt_labels": labels,
                     "position_ids": base["position_ids"],
@@ -444,8 +469,10 @@ def bench_pretrain():
                                    meta_loader=mlm_index_stream(),
                                    steps_per_epoch=100, ot_weight=0.1)
         trainer2.data = data
-        trainer2.train(total_steps=2, log_every=100, save_checkpoint=False)
-        n = 15
+        # warmup must cover BOTH compiles: the single-step fn and the K=8
+        # same-task chunk fn (10 steps = one 8-chunk + 2 tail singles)
+        trainer2.train(total_steps=10, log_every=100, save_checkpoint=False)
+        n = 16  # multiple of K: the timed loop runs as two 8-step chunks
         t0 = time.perf_counter()
         trainer2.train(total_steps=n, log_every=100, save_checkpoint=False)
         resident = B * ACCUM * n / (time.perf_counter() - t0)

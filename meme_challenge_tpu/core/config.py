@@ -162,6 +162,13 @@ class TrainConfig:
                                         # (index-bytes per step instead of
                                         # feature-megabytes; pointwise-equal
                                         # to host batches — test_train)
+    steps_per_dispatch: int = 0         # optimizer steps per jitted dispatch
+                                        # (lax.scan chunk). 0 = auto: 8 with
+                                        # device-resident index batches
+                                        # (chunk upload is KBs), 1 for host
+                                        # batches (a chunk would stack K×
+                                        # accum feature-MBs). Pointwise-
+                                        # equal to unchunked — test_train
     confounder_repeat: int = 1
     object_conf_thresh: float = 0.0
     num_folds: int = 0                  # 0 = default split, -1 = all folds

@@ -95,11 +95,63 @@ def mask_tokens_bert(
     return tokens, labels
 
 
+def _batch_rng(rng: random.Random) -> np.random.Generator:
+    """Per-batch numpy Generator seeded FROM the python RNG stream — the
+    vectorized batchers stay deterministic under the reference's global
+    ``random.seed`` discipline (one 64-bit draw per batch) while the
+    per-token draws vectorize."""
+    return np.random.default_rng(rng.getrandbits(64))
+
+
+def mask_tokens_bert_batch(
+    token_ids: np.ndarray,
+    attn_mask: np.ndarray,
+    np_rng: np.random.Generator,
+    mask_prob: float,
+    mask_token: int,
+    vocab_range: Tuple[int, int],
+    special_ids: Tuple[int, ...],
+) -> Tuple[np.ndarray, np.ndarray]:
+    """Vectorized BERT 80/10/10 masking over a ``[B, T]`` batch.
+
+    Distribution-identical to :func:`mask_tokens_bert` row-by-row (incl. the
+    renormalized-uniform branch trick and the at-least-one guarantee), but
+    one numpy draw per tensor instead of one python draw per token — the
+    per-token loop was the host-side serial tail of the pretrain driver
+    loop (measured r3: ~700 memes/s loop vs ~800 step-only)."""
+    B, T = token_ids.shape
+    tokens = token_ids.copy()
+    labels = np.full_like(tokens, -1)
+    n = attn_mask.sum(axis=1)
+    eligible = (np.arange(T)[None, :] < n[:, None]) \
+        & ~np.isin(tokens, special_ids)
+    prob = np_rng.random((B, T))
+    sel = eligible & (prob < mask_prob)
+    sub = prob / mask_prob                      # renormalized branch draw
+    labels[sel] = tokens[sel]
+    tokens[sel & (sub < 0.8)] = mask_token
+    to_rand = sel & (sub >= 0.8) & (sub < 0.9)
+    if to_rand.any():
+        tokens[to_rand] = np_rng.integers(
+            vocab_range[0], vocab_range[1], size=int(to_rand.sum()))
+    none = ~sel.any(axis=1)
+    if none.any():                              # at least one: position [1]
+        rows = np.where(none)[0]
+        labels[rows, 1] = tokens[rows, 1]
+        tokens[rows, 1] = mask_token
+    return tokens, labels
+
+
 class MLMBatcher:
-    """Wraps a corpus loader; applies MLM masking per batch."""
+    """Wraps a corpus loader; applies MLM masking per batch.
+
+    ``reference_rng=True`` reproduces the reference's per-token python-RNG
+    draw order exactly (pretrain_mlm.py:35-69); the default vectorized path
+    is distribution-identical and ~50× cheaper on the host."""
 
     def __init__(self, dataset: MemeDataset, tokenizer, mask_prob: float = 0.15,
-                 vocab_range: Optional[Tuple[int, int]] = None):
+                 vocab_range: Optional[Tuple[int, int]] = None,
+                 reference_rng: bool = False):
         self.dataset = dataset
         self.tokenizer = tokenizer
         self.mask_prob = mask_prob
@@ -108,14 +160,22 @@ class MLMBatcher:
         self.vocab_range = vocab_range or tokenizer.mlm_vocab_range()
         self.special_ids = (tokenizer.cls_id, tokenizer.sep_id,
                             tokenizer.pad_id)
+        self.reference_rng = reference_rng
 
     def __call__(self, batch: Dict[str, np.ndarray]) -> Dict[str, np.ndarray]:
         input_ids = batch["input_ids"].copy()
-        txt_labels = np.full_like(input_ids, -1)
-        for i in range(input_ids.shape[0]):
-            input_ids[i], txt_labels[i] = mask_tokens_bert(
-                input_ids[i], batch["txt_mask"][i], random, self.mask_prob,
-                self.tokenizer.mask_id, self.vocab_range, self.special_ids)
+        if self.reference_rng:
+            txt_labels = np.full_like(input_ids, -1)
+            for i in range(input_ids.shape[0]):
+                input_ids[i], txt_labels[i] = mask_tokens_bert(
+                    input_ids[i], batch["txt_mask"][i], random,
+                    self.mask_prob, self.tokenizer.mask_id, self.vocab_range,
+                    self.special_ids)
+        else:
+            input_ids, txt_labels = mask_tokens_bert_batch(
+                input_ids, batch["txt_mask"], _batch_rng(random),
+                self.mask_prob, self.tokenizer.mask_id, self.vocab_range,
+                self.special_ids)
         out = dict(batch)
         out["input_ids"] = input_ids
         out["txt_labels"] = txt_labels
@@ -169,23 +229,43 @@ class ITMBatcher:
 class MRFRBatcher:
     """Bernoulli region masks (≥1 per sample), zeroed features, dense targets."""
 
-    def __init__(self, dataset: MemeDataset, mask_prob: float = 0.15):
+    def __init__(self, dataset: MemeDataset, mask_prob: float = 0.15,
+                 reference_rng: bool = False):
         self.dataset = dataset
         self.mask_prob = mask_prob
+        self.reference_rng = reference_rng
+
+    def _region_masks(self, img_mask: np.ndarray) -> np.ndarray:
+        B, R = img_mask.shape
+        if self.reference_rng:
+            # per-region python draws (reference pretrain_mrfr.py:29-35)
+            img_masks = np.zeros((B, R), dtype=np.int32)
+            for i in range(B):
+                nbb = int(img_mask[i].sum())
+                if nbb == 0:
+                    continue
+                flags = [random.random() < self.mask_prob
+                         for _ in range(nbb)]
+                if not any(flags):
+                    flags[random.choice(range(nbb))] = True
+                img_masks[i, :nbb] = np.asarray(flags, dtype=np.int32)
+            return img_masks
+        # vectorized: distribution-identical Bernoulli + uniform fallback
+        rng = _batch_rng(random)
+        valid = img_mask.astype(bool)
+        flags = (rng.random((B, R)) < self.mask_prob) & valid
+        nbb = valid.sum(axis=1)
+        need = ~flags.any(axis=1) & (nbb > 0)
+        if need.any():
+            rows = np.where(need)[0]
+            picks = (rng.random(rows.shape[0]) * nbb[rows]).astype(np.int64)
+            flags[rows, picks] = True
+        return flags.astype(np.int32)
 
     def __call__(self, batch: Dict[str, np.ndarray]) -> Dict[str, np.ndarray]:
         out = dict(batch)
         img_mask = batch["img_mask"]
-        B, R = img_mask.shape
-        img_masks = np.zeros((B, R), dtype=np.int32)
-        for i in range(B):
-            nbb = int(img_mask[i].sum())
-            if nbb == 0:
-                continue
-            flags = [random.random() < self.mask_prob for _ in range(nbb)]
-            if not any(flags):
-                flags[random.choice(range(nbb))] = True
-            img_masks[i, :nbb] = np.asarray(flags, dtype=np.int32)
+        img_masks = self._region_masks(img_mask)
         if "img_feat" in batch:
             feat = batch["img_feat"]
             out["feat_targets"] = feat
@@ -203,11 +283,23 @@ class MRCBatcher:
     the reference has the head but no data path; SURVEY.md §2 quirks)."""
 
     def __init__(self, dataset: MemeDataset, mask_prob: float = 0.15,
-                 label_dim: int = IMG_LABEL_DIM):
+                 label_dim: int = IMG_LABEL_DIM, reference_rng: bool = False):
         self.dataset = dataset
         self.mask_prob = mask_prob
         self.label_dim = label_dim
-        self._mrfr = MRFRBatcher(dataset, mask_prob)
+        self._mrfr = MRFRBatcher(dataset, mask_prob,
+                                 reference_rng=reference_rng)
+        # dense [N, R] class-id table built once: detector class ids are
+        # 0-based over 1600 fg classes; +1 leaves index 0 as background
+        # (reference pretrain.py:228-230); padding rows stay −1
+        R = dataset.max_bb
+        n = len(dataset)
+        self._cls = np.full((n, R), -1, dtype=np.int64)
+        self._cls_count = np.zeros(n, dtype=np.int64)
+        for i, objs in enumerate(dataset.objects):
+            k = min(len(objs), R)
+            self._cls[i, :k] = np.asarray(objs[:k], dtype=np.int64) + 1
+            self._cls_count[i] = k
 
     def __call__(self, batch: Dict[str, np.ndarray],
                  indices: np.ndarray) -> Dict[str, np.ndarray]:
@@ -215,12 +307,10 @@ class MRCBatcher:
         out.pop("feat_targets", None)  # absent in index-mode batches
         B, R = batch["img_mask"].shape
         labels = np.zeros((B, R, self.label_dim), dtype=np.float32)
-        for row, idx in enumerate(indices):
-            objs = self.dataset.objects[idx]
-            # detector class ids are 0-based over 1600 fg classes; +1 leaves
-            # index 0 as background (reference pretrain.py:228-230)
-            for r, obj in enumerate(objs[:R]):
-                labels[row, min(r, R - 1), int(obj) + 1] = 1.0
+        idx = np.asarray(indices)
+        valid = np.arange(R)[None, :] < self._cls_count[idx][:, None]
+        rows, regions = np.nonzero(valid)
+        labels[rows, regions, self._cls[idx][rows, regions]] = 1.0
         out["label_targets"] = labels
         return out
 

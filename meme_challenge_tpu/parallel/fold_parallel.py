@@ -207,6 +207,23 @@ class FoldParallelTrainer:
         vm = jax.vmap(fold_update, in_axes=(0, 0, 0, data_axis))
         self._train_step = jax.jit(vm, donate_argnums=(0,))
 
+        # chunked dispatch (train/steps.make_train_multi_step analogue):
+        # K whole optimizer steps per jitted call via lax.scan over
+        # [K, F, accum, ...] batches — one dispatch round trip per K steps.
+        # Per-fold per-step dropout rngs derive IN-GRAPH from the fold
+        # roots + each fold's carried step counter: the identical
+        # vmap(fold_in)(fold_roots, state.step) stream the single-step
+        # loop computes on the host, so chunked == unchunked pointwise
+        # (tests/test_parallel.py).
+        def multi(state, batches, fold_roots, data):
+            def body(st, batch):
+                rngs = jax.vmap(jax.random.fold_in)(fold_roots, st.step)
+                return vm(st, batch, rngs, data)
+
+            return jax.lax.scan(body, state, batches)
+
+        self._train_multi_step = jax.jit(multi, donate_argnums=(0,))
+
         def fold_eval(params, batch, data):
             if gather:
                 batch = gather_micro(data, batch)
@@ -330,11 +347,31 @@ class FoldParallelTrainer:
             logger.info("[fold-parallel] all %i folds already done; "
                         "skipping training", self.num_folds)
             return self.fold_val_metrics
+        # chunk size: K steps per dispatch only when per-step uploads are
+        # index bytes (device-resident folds); host-batch mode would stack
+        # K × F × accum feature-megabytes per call
+        K = c.steps_per_dispatch or (8 if self._gather else 1)
         for epoch in range(self.start_epoch, c.max_epoch + 1):
             # no per-step fetch: a per-step np.asarray would sync the host
             # against every dispatched step and serialize batch assembly
             # with device compute (the loss values were never consumed)
+            pending: List[dict] = []
             for device_batch in self._fold_device_batches():
+                if K > 1:
+                    pending.append(device_batch)
+                    if len(pending) == K:
+                        chunk = {k: np.stack([b[k] for b in pending])
+                                 for k in pending[0]}
+                        self.state, _ = self._train_multi_step(
+                            self.state, chunk, self.fold_roots,
+                            self._train_data)
+                        pending = []
+                    continue
+                fold_rngs = jax.vmap(jax.random.fold_in)(
+                    self.fold_roots, self.state.step)
+                self.state, out = self._train_step(
+                    self.state, device_batch, fold_rngs, self._train_data)
+            for device_batch in pending:  # tail < K: single steps
                 fold_rngs = jax.vmap(jax.random.fold_in)(
                     self.fold_roots, self.state.step)
                 self.state, out = self._train_step(

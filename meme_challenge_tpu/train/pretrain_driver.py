@@ -143,12 +143,12 @@ class PretrainTrainer:
         self.state = create_train_state(params, self.tx)
         self.root_rng = prng_key(c.seed)
         self._task_steps: Dict[str, Callable] = {}
+        self._task_multi_steps: Dict[str, Callable] = {}
         self.saver = ModelSaver(
             f"{c.model_path}/{c.model_save_name}")
 
-    def _get_task_step(self, task: str) -> Callable:
-        if task in self._task_steps:
-            return self._task_steps[task]
+    def _task_step_fn(self, task: str) -> Callable:
+        """Raw (un-jitted) one-optimizer-step function for one task."""
         model = self.model
         tx = self.tx
         accum = self.config.gradient_accumulation
@@ -176,9 +176,32 @@ class PretrainTrainer:
             new_params = optax.apply_updates(state.params, updates)
             return TrainState(new_params, new_opt, state.step + 1), losses
 
-        compiled = jax.jit(step, donate_argnums=(0,))
-        self._task_steps[task] = compiled
-        return compiled
+        return step
+
+    def _get_task_step(self, task: str) -> Callable:
+        if task not in self._task_steps:
+            self._task_steps[task] = jax.jit(
+                self._task_step_fn(task), donate_argnums=(0,))
+        return self._task_steps[task]
+
+    def _get_task_multi_step(self, task: str) -> Callable:
+        """K consecutive same-task optimizer steps in one jitted dispatch
+        (lax.scan over [K, accum, ...] batches). Per-step rng derives
+        in-graph as fold_in(root, state.step) — identical to the
+        single-step loop's host-side fold_in(root, opt_step) stream."""
+        if task not in self._task_multi_steps:
+            body = self._task_step_fn(task)
+
+            def multi(state: TrainState, batches, root_rng, data=None):
+                def scan_body(st, batch):
+                    rng = jax.random.fold_in(root_rng, st.step)
+                    return body(st, batch, rng, data)
+
+                return jax.lax.scan(scan_body, state, batches)
+
+            self._task_multi_steps[task] = jax.jit(
+                multi, donate_argnums=(0,))
+        return self._task_multi_steps[task]
 
     def train(self, total_steps: Optional[int] = None,
               log_every: Optional[int] = None,
@@ -193,21 +216,60 @@ class PretrainTrainer:
         accum = c.gradient_accumulation
         total = total_steps or (self.steps_per_epoch * c.max_epoch)
         cadence = log_every or max(1, total // 10)
-        # (task, [accum] DEVICE loss buffer) per step — kept in-flight so the
-        # async dispatch overlaps host batch assembly (incl. the sequential
-        # per-sample MLM masking, data/pretrain.py) with device compute; a
-        # per-step float(np.asarray(...)) would force a host sync every
-        # optimizer step (the pattern removed from Trainer.train_main in r2b)
+        # (task, DEVICE loss buffer) per dispatch — kept in-flight so the
+        # async dispatch overlaps host batch assembly (incl. the vectorized
+        # MLM masking, data/pretrain.py) with device compute; a per-step
+        # float(np.asarray(...)) would force a host sync every optimizer
+        # step (the pattern removed from Trainer.train_main in r2b)
         step_log: list = []
         fetched: Dict[str, list] = {}
         stream = iter(self.meta_loader)
         t0 = time.time()
+        # opportunistic chunking: CONSECUTIVE same-task groups share one
+        # dispatch (lax.scan over steps) — the MetaLoader switches tasks
+        # between optimizer steps, so a multi-task mix chunks in short runs
+        # (expected ~1.3 at 4 uniform tasks) while a single-task stream
+        # (MLM-only warmup, the bench driver loop) chunks fully and pays
+        # one dispatch RTT per K steps
+        K = c.steps_per_dispatch or (8 if self.data is not None else 1)
 
         def drain():
             for task_i, dev_losses in step_log:
-                fetched.setdefault(task_i, []).append(
-                    float(np.asarray(dev_losses).mean()))  # sync point
+                arr = np.asarray(dev_losses)          # sync point
+                if arr.ndim == 2:                     # chunk: [K, accum]
+                    fetched.setdefault(task_i, []).extend(
+                        arr.mean(-1).tolist())
+                else:
+                    fetched.setdefault(task_i, []).append(float(arr.mean()))
             step_log.clear()
+
+        pending: list = []
+        pending_task: Optional[str] = None
+        next_idx = 0  # optimizer steps dispatched so far (== state.step)
+
+        def flush():
+            nonlocal pending, pending_task, next_idx
+            if not pending:
+                return
+            task = pending_task
+            if len(pending) == K:
+                chunk = {k: np.stack([b[k] for b in pending])
+                         for k in pending[0]}
+                self.state, losses = self._get_task_multi_step(task)(
+                    self.state, chunk, self.root_rng, self.data)
+                step_log.append((task, losses))
+                next_idx += K
+            else:
+                # short run (task switched before K): single steps — a
+                # variable-length chunk would compile one program per
+                # distinct length (minutes each on the remote service)
+                for db in pending:
+                    rng = jax.random.fold_in(self.root_rng, next_idx)
+                    self.state, losses = self._get_task_step(task)(
+                        self.state, db, rng, self.data)
+                    step_log.append((task, losses))
+                    next_idx += 1
+            pending, pending_task = [], None
 
         for opt_step in range(total):
             group, task = [], None
@@ -224,17 +286,20 @@ class PretrainTrainer:
             device_batch = {
                 k: np.stack([np.asarray(b[k]) for b in group])
                 for k in group[0]}
-            rng = jax.random.fold_in(self.root_rng, opt_step)
-            step_fn = self._get_task_step(task)
-            self.state, losses = step_fn(self.state, device_batch, rng,
-                                         self.data)
-            step_log.append((task, losses))
+            if pending and task != pending_task:
+                flush()
+            pending_task = task
+            pending.append(device_batch)
+            if len(pending) >= K:
+                flush()
             if (opt_step + 1) % cadence == 0:
+                flush()
                 drain()
                 means = {t: float(np.mean(v[-50:]))
                          for t, v in fetched.items()}
                 logger.info("pretrain step %i/%i losses=%s (%.1fs)",
                             opt_step + 1, total, means, time.time() - t0)
+        flush()
         drain()
         if save_checkpoint:
             self.saver.save(self.state.params)

@@ -45,6 +45,7 @@ from meme_challenge_tpu.train.steps import (
     TrainState,
     create_train_state,
     make_eval_step,
+    make_train_multi_step,
     make_train_step,
     stack_for_accum,
 )
@@ -129,6 +130,18 @@ class Trainer:
             model_apply_train, self.loss_fn, self.tx,
             accum_steps=c.gradient_accumulation,
             gather_data=self._gather_train)
+        # chunked dispatch: K optimizer steps per jitted call (lax.scan) —
+        # amortizes the per-step dispatch RTT. Auto: only worthwhile when
+        # the chunk upload is index bytes, not K× feature megabytes.
+        self.steps_per_dispatch = c.steps_per_dispatch or (
+            8 if self._gather_train else 1)
+        self.train_multi_step = None
+        if self.steps_per_dispatch > 1:
+            self.train_multi_step = make_train_multi_step(
+                model_apply_train, self.loss_fn, self.tx,
+                accum_steps=c.gradient_accumulation,
+                steps_per_dispatch=self.steps_per_dispatch,
+                gather_data=self._gather_train)
         if c.loss_func == "ce":
             probs_fn = lambda lg: jax.nn.softmax(lg.astype(jnp.float32), -1)
         else:
@@ -196,14 +209,22 @@ class Trainer:
         c = self.config
         logger.info("Beginning training: %s", c.model_save_name)
         start = time.time()
+        # host-side mirror of state.step: ``int(self.state.step)`` per step
+        # is a blocking fetch on the IN-FLIGHT donated state — it would
+        # serialize host batch prep against device compute (one relay RTT +
+        # full step latency per iteration). The mirror yields the identical
+        # fold_in values; synced once here in case params were restored.
+        host_step = int(self.state.step)
         for epoch in range(1, c.max_epoch + 1):
             epoch_probs, epoch_labels, epoch_masks, losses = [], [], [], []
             epoch_start = time.time()
             n_steps = 0
             train_data = self._data_for(self.train_loader)
-            for device_batch in self._device_batches(self.train_loader):
-                step_rng = jax.random.fold_in(
-                    self.root_rng, int(self.state.step))
+
+            def run_single(device_batch):
+                nonlocal host_step, n_steps
+                step_rng = jax.random.fold_in(self.root_rng, host_step)
+                host_step += 1
                 self.state, out = self.train_step(
                     self.state, device_batch, step_rng, train_data)
                 # keep DEVICE arrays in-flight — a per-step np.asarray would
@@ -216,6 +237,37 @@ class Trainer:
                 epoch_masks.append(device_batch["sample_mask"])
                 n_steps += 1
                 self.total_iters += c.gradient_accumulation
+
+            def run_chunk(chunk):
+                # K steps in one dispatch (steps.make_train_multi_step);
+                # per-step RNG derives in-graph from state.step — the same
+                # fold_in stream run_single produces from host_step
+                nonlocal host_step, n_steps
+                stacked = {k: np.stack([b[k] for b in chunk])
+                           for k in chunk[0]}
+                self.state, out = self.train_multi_step(
+                    self.state, stacked, self.root_rng, train_data)
+                losses.append(out["loss"])
+                epoch_probs.append(out["probs"])
+                epoch_labels.append(stacked["labels"])
+                epoch_masks.append(stacked["sample_mask"])
+                host_step += len(chunk)
+                n_steps += len(chunk)
+                self.total_iters += len(chunk) * c.gradient_accumulation
+
+            if self.train_multi_step is None:
+                for device_batch in self._device_batches(self.train_loader):
+                    run_single(device_batch)
+            else:
+                K = self.steps_per_dispatch
+                pending: List[dict] = []
+                for device_batch in self._device_batches(self.train_loader):
+                    pending.append(device_batch)
+                    if len(pending) == K:
+                        run_chunk(pending)
+                        pending = []
+                for device_batch in pending:  # tail < K: single steps
+                    run_single(device_batch)
             if losses:
                 losses = [np.asarray(x) for x in losses]        # sync point
                 epoch_probs = [np.asarray(x) for x in epoch_probs]
@@ -225,12 +277,18 @@ class Trainer:
                                      self.total_iters,
                                      (time.time() - epoch_start)
                                      / (n_steps * c.gradient_accumulation)))
-                lr_factor = float(self.schedule(int(self.state.step)))
+                lr_factor = float(self.schedule(host_step))
                 self.scalars.append(("Stats/learning_rate", self.total_iters,
                                      c.lr * lr_factor))
 
-            probs = np.concatenate([p.reshape(-1, *p.shape[2:])
-                                    for p in epoch_probs])
+            # leading dims vary by dispatch mode — [accum, B] from single
+            # steps, [K, accum, B] from chunks — flatten them all; only the
+            # CE class dim survives
+            n_cls = (epoch_probs[0].shape[-1]
+                     if c.loss_func == "ce" else None)
+            probs = np.concatenate(
+                [p.reshape(-1, n_cls) if n_cls else p.reshape(-1)
+                 for p in epoch_probs])
             labels = np.concatenate([l.reshape(-1) for l in epoch_labels])
             masks = np.concatenate([m.reshape(-1) for m in epoch_masks])
             valid = masks.astype(bool)
@@ -239,10 +297,9 @@ class Trainer:
             # weight per-micro losses by their valid-sample counts so the
             # zero-mask padding of the final accumulation group doesn't
             # deflate the epoch loss
-            loss_flat = np.concatenate(losses).reshape(-1)
-            count_flat = np.stack(epoch_masks).reshape(
-                len(epoch_masks), -1, epoch_masks[0].shape[-1]
-            ).sum(-1).reshape(-1)
+            loss_flat = np.concatenate([x.reshape(-1) for x in losses])
+            count_flat = np.concatenate(
+                [m.reshape(-1, m.shape[-1]).sum(-1) for m in epoch_masks])
             self.train_loss = float(np.average(
                 loss_flat, weights=np.maximum(count_flat, 0) + 1e-9))
 

@@ -234,3 +234,42 @@ def test_fold_sharded_device_resident_data(synth, tmp_path):
     t_idx.state = s_i
     metrics = t_idx.eval_folds()
     assert all(np.isfinite(m["aucroc"]) for m in metrics)
+
+
+def test_fold_parallel_chunked_dispatch_parity(synth, tmp_path):
+    """steps_per_dispatch>1 (K whole optimizer steps per jitted dispatch,
+    rngs derived in-graph from fold roots + carried step counters) is
+    pointwise-equal to the single-step fold-parallel loop, including the
+    chunk+tail split (4 steps/epoch, K=3 → chunk of 3 + 1 tail)."""
+    from meme_challenge_tpu.core.seeding import set_seed
+
+    n_folds = 2
+    model = MemeUniter(UCFG, n_classes=1)
+
+    def run(K):
+        set_seed(0)
+        train, val = _loaders(synth, n_folds)
+        for l in train + val:
+            l.index_batches = True
+        example = next(iter(BatchLoader(val[0].dataset, 8)))
+        example.pop("ids")
+        keys = jax.random.split(jax.random.PRNGKey(3), n_folds)
+        params_stacked = jax.vmap(
+            lambda k: model.init(k, example,
+                                 deterministic=True)["params"])(keys)
+        cfg = TrainConfig(model_path=str(tmp_path), lr=1e-3, batch_size=8,
+                          max_epoch=2, gradient_accumulation=1,
+                          warmup_steps=2, seed=0, steps_per_dispatch=K)
+        t = FoldParallelTrainer(cfg, model, params_stacked, train, val)
+        t.train_main()
+        return t
+
+    t1 = run(1)
+    t3 = run(3)
+    np.testing.assert_array_equal(np.asarray(t1.state.step),
+                                  np.asarray(t3.state.step))
+    for a, b in zip(jax.tree.leaves(t1.state.params),
+                    jax.tree.leaves(t3.state.params)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=2e-6)
+    for m1, m3 in zip(t1.fold_val_metrics, t3.fold_val_metrics):
+        assert m1["aucroc"] == pytest.approx(m3["aucroc"], abs=1e-6)

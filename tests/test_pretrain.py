@@ -107,6 +107,55 @@ def test_mrc_batcher_soft_labels(corpus):
     assert (sums[valid] == 1).all()
 
 
+def test_vectorized_batchers_deterministic(corpus):
+    """Default (vectorized) batchers draw their per-batch numpy seed from
+    the global python RNG: same random.seed → identical batches; the
+    reference_rng path yields the same properties from per-token draws."""
+    ds, tok = corpus
+    idx = np.arange(16)
+    base = ds.batch(idx)
+    base["sample_mask"] = np.ones(16, np.int32)
+
+    random.seed(7)
+    out1 = MLMBatcher(ds, tok, mask_prob=0.4)(dict(base))
+    random.seed(7)
+    out2 = MLMBatcher(ds, tok, mask_prob=0.4)(dict(base))
+    np.testing.assert_array_equal(out1["input_ids"], out2["input_ids"])
+    np.testing.assert_array_equal(out1["txt_labels"], out2["txt_labels"])
+
+    for reference_rng in (False, True):
+        random.seed(9)
+        out = MLMBatcher(ds, tok, mask_prob=0.4,
+                         reference_rng=reference_rng)(dict(base))
+        lab, ids = out["txt_labels"], base["input_ids"]
+        assert ((lab != -1).sum(axis=1) >= 1).all()
+        assert (lab[:, 0] == -1).all()                      # [CLS]
+        assert (lab[ds.txt_mask[idx] == 0] == -1).all()     # padding
+        keep = (lab == -1) & (ds.txt_mask[idx] == 1)
+        assert (out["input_ids"][keep] == ids[keep]).all()
+
+        random.seed(9)
+        mr = MRFRBatcher(ds, mask_prob=0.3,
+                         reference_rng=reference_rng)(dict(base))
+        im = mr["img_masks"]
+        assert (im.sum(axis=1) >= 1).all()
+        assert (im[base["img_mask"] == 0] == 0).all()
+
+
+def test_mrc_labels_match_objects(corpus):
+    """The vectorized one-hot scatter reproduces the per-row construction:
+    region r of sample i is labeled class objects[i][r]+1."""
+    ds, _ = corpus
+    out = MRCBatcher(ds, mask_prob=0.3)(ds.batch(np.arange(6)), np.arange(6))
+    lab = out["label_targets"]
+    for row in range(6):
+        objs = ds.objects[row]
+        k = min(len(objs), ds.max_bb)
+        for r in range(k):
+            assert lab[row, r, int(objs[r]) + 1] == 1.0
+        assert lab[row].sum() == k
+
+
 def test_meta_loader_holds_task_across_accum(corpus):
     ds, tok = corpus
     random.seed(7)
@@ -158,6 +207,50 @@ def test_pretrain_driver_losses_decrease(corpus, tmp_path):
     for task, v in losses.items():
         assert np.isfinite(v), (task, v)
     assert (tmp_path / "pre.ckpt").exists()
+
+
+def test_pretrain_chunked_dispatch_parity(corpus, tmp_path):
+    """steps_per_dispatch>1 (consecutive same-task groups share one
+    lax.scan dispatch; short runs fall back to single steps) is
+    pointwise-equal to the single-step driver: same per-step losses, same
+    final parameters. Single-task MLM stream → 10 steps at K=4 exercises
+    2 full chunks + 2 tail singles."""
+    from meme_challenge_tpu.models.uniter import UniterForPretraining
+    from meme_challenge_tpu.train.pretrain_driver import PretrainTrainer
+    from meme_challenge_tpu.train.pretrain_init import init_pretrain_params
+    import jax
+
+    ds, tok = corpus
+    ucfg = UniterConfig(vocab_size=tok.vocab_size, hidden_size=32,
+                        num_hidden_layers=2, num_attention_heads=2,
+                        intermediate_size=64, img_dim=32,
+                        max_position_embeddings=32)
+    model = UniterForPretraining(ucfg, img_label_dim=1601)
+    example = next(iter(TaskLoader("mlm", ds, 4, MLMBatcher(ds, tok))))
+    params = init_pretrain_params(model, jax.random.PRNGKey(0), example)
+    tcfg = TrainConfig(model_path=str(tmp_path), model_save_name="ck.ckpt",
+                       lr=2e-3, gradient_accumulation=2, max_epoch=1,
+                       warmup_steps=2, scheduler="warmup_cosine")
+
+    def run(K):
+        random.seed(23)
+        meta = MetaLoader({"mlm": TaskLoader(
+            "mlm", ds, 4, MLMBatcher(ds, tok), index_batches=True)},
+            accum_steps=2)
+        trainer = PretrainTrainer(
+            tcfg.replace(steps_per_dispatch=K), model,
+            jax.tree.map(np.copy, params), meta, steps_per_epoch=10,
+            data_arrays=ds.device_arrays())
+        losses = trainer.train(total_steps=10, save_checkpoint=False)
+        return trainer, losses
+
+    t1, l1 = run(1)
+    t4, l4 = run(4)
+    assert l4["mlm"] == pytest.approx(l1["mlm"], abs=1e-6)
+    assert int(t4.state.step) == int(t1.state.step) == 10
+    for a, b in zip(jax.tree.leaves(t1.state.params),
+                    jax.tree.leaves(t4.state.params)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=2e-6)
 
 
 def test_pretrain_device_resident_matches_host(corpus, tmp_path):

@@ -278,6 +278,61 @@ def test_device_resident_data_matches_host_batches(synth, tmp_path):
     assert dev_best["aucroc"] == pytest.approx(host_best["aucroc"], abs=1e-6)
 
 
+def test_chunked_dispatch_matches_single_step(synth, tmp_path):
+    """steps_per_dispatch>1 (lax.scan over whole optimizer steps, one
+    dispatch per chunk) reproduces the single-step trainer pointwise: the
+    in-graph fold_in(root, state.step) RNG stream must equal the host-side
+    fold_in(root, host_step) stream, and chunk+tail splitting must not
+    change the math."""
+    import os
+
+    from meme_challenge_tpu.core.seeding import set_seed
+    from meme_challenge_tpu.data.meme_dataset import BatchLoader, MemeDataset
+    from meme_challenge_tpu.data.tokenizer import BertTokenizer
+    from meme_challenge_tpu.models.uniter import MemeUniter
+    from meme_challenge_tpu.train.trainer import Trainer
+
+    ucfg, tcfg = _tiny_configs(synth, tmp_path, max_epoch=2,
+                               model_save_name="chunked.ckpt")
+    tok = BertTokenizer(synth["vocab"])
+    kwargs = dict(feature_dir=synth["feature_dir"], tokenizer=tok,
+                  max_txt_len=12, max_bb=16, img_dim=32)
+    model = MemeUniter(ucfg, n_classes=1)
+
+    def run(steps_per_dispatch):
+        set_seed(tcfg.seed)
+        cfg = tcfg.replace(steps_per_dispatch=steps_per_dispatch,
+                           model_save_name=f"chunk{steps_per_dispatch}.ckpt")
+        train = BatchLoader(MemeDataset(
+            os.path.join(synth["root"], "train.jsonl"), **kwargs), 8,
+            index_batches=True)
+        val = BatchLoader(MemeDataset(
+            os.path.join(synth["root"], "dev_seen.jsonl"), **kwargs), 8,
+            index_batches=True)
+        example = dict(next(iter(BatchLoader(train.dataset, 8))))
+        example.pop("ids", None)
+        params = model.init(jax.random.PRNGKey(0), example,
+                            deterministic=True)["params"]
+        trainer = Trainer(cfg, model, jax.tree.map(np.copy, params),
+                          train, val, [])
+        if steps_per_dispatch > 1:
+            assert trainer.train_multi_step is not None
+        best, _ = trainer.train_main()
+        probs, _, _ = trainer.predict(val)
+        return best, probs, trainer
+
+    # 3 optimizer steps/epoch → K=2 exercises chunk + tail each epoch
+    single_best, single_probs, t1 = run(1)
+    chunk_best, chunk_probs, t2 = run(2)
+    np.testing.assert_allclose(chunk_probs, single_probs, atol=2e-6)
+    assert chunk_best["aucroc"] == pytest.approx(single_best["aucroc"],
+                                                 abs=1e-6)
+    assert t2.val_loss == pytest.approx(t1.val_loss, abs=1e-5)
+    for a, b in zip(jax.tree.leaves(t1.state.params),
+                    jax.tree.leaves(t2.state.params)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=2e-6)
+
+
 def test_single_fold_device_resident_cli_path(synth, tmp_path):
     """build_entry --device_resident_data: index-mode loaders flow through
     the crossval driver, training works, artifacts export."""
