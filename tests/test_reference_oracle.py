@@ -41,6 +41,7 @@ ATOL = 1e-4
 @pytest.fixture(scope="module")
 def ref():
     """Import the reference model package with apex stubbed."""
+    import importlib.machinery
     if "apex" not in sys.modules:
         apex = types.ModuleType("apex")
         norm = types.ModuleType("apex.normalization")
@@ -52,6 +53,14 @@ def ref():
         sys.modules["apex"] = apex
         sys.modules["apex.normalization"] = norm
         sys.modules["apex.normalization.fused_layer_norm"] = fln
+    # transformers probes importlib.util.find_spec("apex"), which RAISES
+    # ValueError on a module whose __spec__ is None — give every stub a
+    # real spec so suites importing transformers after us keep working
+    for name in ("apex", "apex.normalization",
+                 "apex.normalization.fused_layer_norm"):
+        mod = sys.modules[name]
+        if getattr(mod, "__spec__", None) is None:
+            mod.__spec__ = importlib.machinery.ModuleSpec(name, None)
     if "/root/reference" not in sys.path:
         sys.path.insert(0, "/root/reference")
     import model.model as ref_model

@@ -54,8 +54,7 @@ def _stub_module(name):
 @pytest.fixture(scope="module")
 def ref():
     """Import the reference TRAINING machinery with apex stubbed."""
-    if "apex" not in sys.modules or not hasattr(
-            sys.modules["apex"], "__spec__"):
+    if "apex" not in sys.modules:
         apex = _stub_module("apex")
         norm = _stub_module("apex.normalization")
         fln = _stub_module("apex.normalization.fused_layer_norm")
@@ -65,6 +64,14 @@ def ref():
         sys.modules["apex"] = apex
         sys.modules["apex.normalization"] = norm
         sys.modules["apex.normalization.fused_layer_norm"] = fln
+    # another suite may have installed a spec-less apex stub first (every
+    # module HAS a __spec__ attribute — it defaults to None, on which
+    # transformers' find_spec("apex") probe raises); repair it in place
+    for name in ("apex", "apex.normalization",
+                 "apex.normalization.fused_layer_norm"):
+        mod = sys.modules.get(name)
+        if mod is not None and getattr(mod, "__spec__", None) is None:
+            mod.__spec__ = importlib.machinery.ModuleSpec(name, None)
     if "/root/reference" not in sys.path:
         sys.path.insert(0, "/root/reference")
     import train_template as ref_train_template
