@@ -53,9 +53,14 @@ T, R = 60, 100
 WARMUP_STEPS = 3
 TIMED_STEPS = 30
 EXTRA_TIMEOUT_S = 420  # per extra metric; remote compiles can stall
-PRETRAIN_TIMEOUT_S = 840  # 4 task compiles + the driver-loop compile; the
+FINETUNE_LOOP_TIMEOUT_S = 600  # two fresh compiles (gather single-step +
+                               # K=8 chunk); chunked measured first, K=1
+                               # skipped when the budget runs short
+PRETRAIN_TIMEOUT_S = 960  # 4 task compiles + 2 driver-loop compiles; the
                           # remote compile service has windows where a
-                          # single fresh HLO takes 3+ minutes
+                          # single fresh HLO takes 3+ minutes. Order:
+                          # mlm → driver loop → itm/mrfr/mrc-kl, so a slow
+                          # window costs the tail tasks, not the loop metric
 
 
 class _Timeout(Exception):
@@ -168,7 +173,11 @@ def bench_finetune_loop():
     reused), this measures the real per-step host→device path. Two modes:
     ``chunked_k8`` is the Trainer's default dispatch (8 optimizer steps per
     jitted lax.scan call — one relay RTT per 8 steps), ``per_step_dispatch``
-    the K=1 path."""
+    the K=1 path. The chunked number is measured FIRST and the K=1 pass is
+    skipped when the budget runs short (each mode is its own fresh remote
+    compile — a slow compile-service window must not sink the whole
+    metric, r3 rehearsal lost it to a double timeout)."""
+    budget_end = time.monotonic() + FINETUNE_LOOP_TIMEOUT_S - 30
     from meme_challenge_tpu.train.steps import (
         make_train_multi_step, make_train_step)
 
@@ -178,7 +187,11 @@ def bench_finetune_loop():
                        scheduler="warmup_cosine", warmup_steps=500)
     model = MemeUniter(ucfg, n_classes=1)
     rng = np.random.RandomState(0)
-    N = 1024  # synthetic corpus resident in HBM
+    # synthetic corpus resident in HBM. Kept SMALL: the gather cost is
+    # corpus-size-independent (HBM fancy-indexing), but the one-time upload
+    # crosses the axon relay at ~8-20 MB/s — 1024 rows (≈430 MB of fp16
+    # features) burned minutes of the metric budget before timing started
+    N = 256
     txt_len = rng.randint(8, T + 1, size=N)
     img_len = rng.randint(10, R + 1, size=N)
     data = {
@@ -203,27 +216,11 @@ def bench_finetune_loop():
         return model.apply({"params": params_}, b, deterministic=False,
                            rngs={"dropout": rng_})
 
-    step = make_train_step(apply_train, make_loss_fn("bce_logits", 1.8), tx,
-                           accum_steps=ACCUM, gather_data=True)
     state = create_train_state(params, tx)
     root = jax.random.PRNGKey(0)
 
-    def idx_batch():
-        return {"indices": rng.randint(0, N, (ACCUM, BATCH)).astype(np.int32),
-                "sample_mask": np.ones((ACCUM, BATCH), np.int32)}
-
-    for i in range(WARMUP_STEPS):
-        state, out = step(state, idx_batch(), jax.random.fold_in(root, i),
-                          data)
-        np.asarray(out["loss"])
-    t0 = time.perf_counter()
-    for i in range(TIMED_STEPS):
-        state, out = step(state, idx_batch(),
-                          jax.random.fold_in(root, 100 + i), data)
-    np.asarray(out["loss"])
-    per_step = BATCH * ACCUM * TIMED_STEPS / (time.perf_counter() - t0)
-
-    # the Trainer's default for index loaders: 8 steps per dispatch
+    # the Trainer's default for index loaders (8 steps per dispatch) is
+    # measured first — it is the shipped loop path
     K = 8
     multi = make_train_multi_step(
         apply_train, make_loss_fn("bce_logits", 1.8), tx,
@@ -243,6 +240,38 @@ def bench_finetune_loop():
         state, out = multi(state, idx_chunk(), root, data)
     np.asarray(out["loss"])
     chunked = BATCH * ACCUM * K * n_chunks / (time.perf_counter() - t0)
+
+    if time.monotonic() > budget_end - 60:
+        # the K=1 comparison pass is its own fresh compile; don't let a slow
+        # compile window void the already-measured shipped-path number
+        return {"chunked_k8": chunked,
+                "per_step_dispatch": "skipped: bench time budget"}
+
+    step = make_train_step(apply_train, make_loss_fn("bce_logits", 1.8), tx,
+                           accum_steps=ACCUM, gather_data=True)
+
+    def idx_batch():
+        return {"indices": rng.randint(0, N, (ACCUM, BATCH)).astype(np.int32),
+                "sample_mask": np.ones((ACCUM, BATCH), np.int32)}
+
+    def per_step_pass():
+        nonlocal state
+        for i in range(WARMUP_STEPS):
+            state, out = step(state, idx_batch(),
+                              jax.random.fold_in(root, i), data)
+            np.asarray(out["loss"])
+        t0 = time.perf_counter()
+        for i in range(TIMED_STEPS):
+            state, out = step(state, idx_batch(),
+                              jax.random.fold_in(root, 100 + i), data)
+        np.asarray(out["loss"])
+        return BATCH * ACCUM * TIMED_STEPS / (time.perf_counter() - t0)
+
+    try:
+        per_step = _with_timeout(per_step_pass,
+                                 max(30, int(budget_end - time.monotonic())))
+    except _Timeout:
+        per_step = "timeout"
     return {"chunked_k8": chunked, "per_step_dispatch": per_step}
 
 
@@ -407,18 +436,20 @@ def bench_pretrain():
         trainer.state = state
         return B * ACCUM / ((time.perf_counter() - t0) / 10)
 
-    for task in ("mlm", "itm", "mrfr", "mrc-kl"):
+    def measure_task(task):
         # each remote compile can take minutes; don't let a slow tail task
         # sink the metrics already measured
         if time.monotonic() > budget_end - 60:
             rates[task] = "skipped: bench time budget"
-            continue
+            return
         try:
             rates[task] = _with_timeout(
                 lambda: one_task(task),
                 max(30, int(budget_end - time.monotonic())))
         except _Timeout:
             rates[task] = "timeout"
+
+    measure_task("mlm")
 
     def driver_loop():
         """The full PretrainTrainer.train loop (host MLM masking, fresh
@@ -440,8 +471,10 @@ def bench_pretrain():
                         dict(base, txt_labels=base["input_ids"]).values()
                         ) * ACCUM / 1e6
 
-        # device-resident corpus: features stay in HBM, MLM text overlays
-        N = 512
+        # device-resident corpus: features stay in HBM, MLM text overlays.
+        # 256 rows ≈ 105 MB of fp16 features — the one-time upload rides
+        # the ~8-20 MB/s relay, so corpus size is budget, not realism
+        N = 256
         data = {k: jnp.asarray(np.concatenate(
             [base[k]] * (N // B))) for k in
             ("input_ids", "position_ids", "img_feat", "img_pos_feat",
@@ -465,7 +498,14 @@ def bench_pretrain():
                                 + (step_i * B) % N)})
                 step_i += 1
 
-        trainer2 = PretrainTrainer(tcfg, model, trainer.state.params,
+        # ON-DEVICE param copy (one dispatch): trainer2's donated steps
+        # must not consume the buffers trainer.state still references —
+        # the itm/mrfr/mrc-kl tasks run AFTER this loop ("Array has been
+        # deleted" otherwise); a host round-trip copy would be ~600 MB
+        # through the relay
+        params2 = jax.jit(lambda t: jax.tree.map(jnp.copy, t))(
+            trainer.state.params)
+        trainer2 = PretrainTrainer(tcfg, model, params2,
                                    meta_loader=mlm_index_stream(),
                                    steps_per_epoch=100, ot_weight=0.1)
         trainer2.data = data
@@ -479,6 +519,9 @@ def bench_pretrain():
         return {"memes_per_sec_device_resident": resident,
                 "streamed_upload_mb_per_step": upload_mb}
 
+    # the r3 driver-loop metric runs BEFORE the remaining per-task steps:
+    # itm/mrfr/mrc-kl are each one more fresh remote compile, and a slow
+    # compile window should cost those tails, not the loop number
     if isinstance(rates.get("mlm"), float) and \
             time.monotonic() < budget_end - 45:
         try:
@@ -488,6 +531,9 @@ def bench_pretrain():
             rates["mlm_driver_loop"] = "timeout"
     else:
         rates["mlm_driver_loop"] = "skipped: bench time budget"
+
+    for task in ("itm", "mrfr", "mrc-kl"):
+        measure_task(task)
     return rates
 
 
@@ -536,7 +582,7 @@ def main():
     # this backend: the axon PJRT client doesn't serialize executables.)
     for name, fn, budget, retries in [
         ("finetune_loop_memes_per_sec", bench_finetune_loop,
-         EXTRA_TIMEOUT_S, 1),  # gather-variant step = its own compile
+         FINETUNE_LOOP_TIMEOUT_S, 1),  # gather-variant step = own compile
         ("inference_ms_batch16", bench_inference_p50, EXTRA_TIMEOUT_S, 0),
         ("text_only_bert_memes_per_sec", bench_text_only, EXTRA_TIMEOUT_S, 0),
         ("pretrain_memes_per_sec_by_task", bench_pretrain,
