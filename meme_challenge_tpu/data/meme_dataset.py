@@ -268,6 +268,24 @@ class BatchLoader:
              else len(self.dataset))
         return (n + self.batch_size - 1) // self.batch_size
 
+    def example_batch(self) -> Dict[str, np.ndarray]:
+        """One host MODEL-INPUT batch for parameter-shape init.
+
+        Works in index mode too — index batches carry no model inputs, so
+        ``next(iter(loader))`` is NOT a usable init example there. Every
+        trainer entry point inits from this helper instead of hand-rolling
+        the index-mode materialization. Host mode goes through ``__iter__``
+        so subclass batch transforms (e.g. Oscar's 2054-d feature assembly)
+        are preserved."""
+        if not self.index_batches:
+            ex = dict(next(iter(self)))
+        else:
+            n = min(self.batch_size, len(self.dataset))
+            ex = dict(self.dataset.batch(np.arange(n)))
+            ex["sample_mask"] = np.ones(n, np.int32)
+        ex.pop("ids", None)
+        return ex
+
     def __iter__(self) -> Iterator[Dict[str, np.ndarray]]:
         order = self._order()
         bs = self.batch_size

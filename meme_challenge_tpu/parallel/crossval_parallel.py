@@ -79,16 +79,7 @@ def train_crossval_fold_parallel(
         train_loaders.append(data_loader_funcs["train"](train_sets[fold_idx]))
         val_loaders.append(data_loader_funcs["val"](dev_sets[fold_idx]))
         if example is None:
-            if getattr(val_loaders[0], "index_batches", False):
-                # index loaders carry no model inputs; materialize one
-                # host batch for parameter-shape init
-                ds = val_loaders[0].dataset
-                n = min(config.batch_size, len(ds))
-                example = ds.batch(np.arange(n))
-                example["sample_mask"] = np.ones(n, np.int32)
-            else:
-                example = dict(next(iter(val_loaders[0])))
-            example.pop("ids", None)
+            example = val_loaders[0].example_batch()
         params_per_fold.append(init_params_fn(
             fold_seed(config.seed, fold_idx), example))
     params_stacked = jax.tree.map(

@@ -172,6 +172,14 @@ def make_train_multi_step(
                    root_rng: Array,
                    data: Optional[Dict[str, Array]] = None
                    ) -> Tuple[TrainState, Dict[str, Array]]:
+        # trace-time guard: the scan length comes from the stacked leading
+        # dim, and every DIFFERENT length is a fresh multi-minute remote
+        # compile — a mis-stacked tail chunk must fail loudly, not compile
+        K = next(iter(batches.values())).shape[0]
+        assert K == steps_per_dispatch, (
+            f"chunk has {K} steps, expected steps_per_dispatch="
+            f"{steps_per_dispatch} (dispatch tails as single steps instead)")
+
         def scan_body(st, batch):
             rng = jax.random.fold_in(root_rng, st.step)
             return body(st, batch, rng, data)

@@ -41,8 +41,7 @@ def run_hatespeech(config: TrainConfig, model_name: str, vocab_file: str,
     train_loader = BatchLoader(train_ds, config.batch_size,
                                shuffle_data=True)
     val_loader = BatchLoader(val_ds, config.batch_size)
-    example = next(iter(val_loader))
-    example.pop("ids", None)
+    example = val_loader.example_batch()
     params = model.init(jax.random.PRNGKey(config.seed), example,
                         deterministic=True)["params"]
     trainer = Trainer(config, model, params, train_loader, val_loader, [])

@@ -65,8 +65,7 @@ def build_object_text_entry(config: TrainConfig, model_name: str,
     ]
 
     def trainer_factory(cfg, train_loader, val_loader, fold_tests):
-        example = next(iter(val_loader))
-        example.pop("ids", None)
+        example = val_loader.example_batch()
         params = model.init(jax.random.PRNGKey(cfg.seed), example,
                             deterministic=True)["params"]
         return Trainer(cfg, model, params, train_loader, val_loader,

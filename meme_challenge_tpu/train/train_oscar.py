@@ -85,8 +85,9 @@ def build_oscar_entry(config: TrainConfig, oscar_config: UniterConfig,
     ]
 
     def trainer_factory(cfg, train_loader, val_loader, fold_tests):
-        example = next(iter(val_loader))
-        example.pop("ids", None)
+        # goes through OscarBatchLoader.__iter__, so the 2054-d assembly
+        # is reflected in the init example
+        example = val_loader.example_batch()
         params = model.init(jax.random.PRNGKey(cfg.seed), example,
                             deterministic=True)["params"]
         return Trainer(cfg, model, params, train_loader, val_loader,

@@ -80,8 +80,9 @@ def build_text_entry(config: TrainConfig, model_name: str, vocab_file: str,
     ]
 
     def trainer_factory(cfg, train_loader, val_loader, fold_tests):
-        example = next(iter(val_loader))
-        example.pop("ids", None)
+        # example_batch, NOT next(iter(...)): with --device_resident_data
+        # the loader yields index batches that carry no model inputs
+        example = val_loader.example_batch()
         params = model.init(jax.random.PRNGKey(cfg.seed), example,
                             deterministic=True)["params"]
         # two-LR groups (head vs base) composed with layer freezing

@@ -138,16 +138,7 @@ def build_entry(config: TrainConfig, uniter_config: UniterConfig,
             test_loaders.append(test_data_loader(path))
 
     def trainer_factory(cfg, train_loader, val_loader, fold_test_loaders):
-        if getattr(val_loader, "index_batches", False):
-            # index loaders carry no model inputs; materialize one host
-            # batch for parameter-shape init
-            n = min(cfg.batch_size, len(val_loader.dataset))
-            example = val_loader.dataset.batch(np.arange(n))
-            example["sample_mask"] = np.ones(n, np.int32)
-        else:
-            example = next(iter(val_loader))
-        example = dict(example)
-        example.pop("ids", None)
+        example = val_loader.example_batch()
         params = init_meme_uniter_params(
             model, uniter_config, cfg, jax.random.PRNGKey(cfg.seed), example)
         return Trainer(cfg, model, params, train_loader, val_loader,

@@ -183,9 +183,13 @@ class Trainer:
             return None
         key = id(loader.dataset)
         if key not in self._dataset_device_cache:
-            self._dataset_device_cache[key] = jax.device_put(
-                loader.dataset.device_arrays())
-        return self._dataset_device_cache[key]
+            # pin the dataset object in the entry: id() of a freed dataset
+            # can be recycled by the allocator, and a stale hit would
+            # silently gather ANOTHER dataset's features for these indices
+            self._dataset_device_cache[key] = (
+                loader.dataset, jax.device_put(
+                    loader.dataset.device_arrays()))
+        return self._dataset_device_cache[key][1]
 
     def _device_batches(self, loader: BatchLoader):
         """Group host micro-batches into [accum, ...] device batches."""

@@ -153,3 +153,69 @@ def test_pure_text_trainer_end_to_end(tmp_path, vocab_file):
     np.testing.assert_array_equal(p_before[0], p_after[0])
     assert not np.allclose(p_before[1], p_after[1])
     assert "aucroc" in trainer.best_val_metrics
+
+
+def test_pure_text_device_resident_training(tmp_path, vocab_file):
+    """The text-only trainer path with ``--device_resident_data``: index
+    loaders carry no model inputs, so init must come from
+    ``BatchLoader.example_batch()`` (regression: train_pure_text's
+    trainer_factory crashed with a KeyError on index-mode batches)."""
+    import jax
+
+    from meme_challenge_tpu.core.config import TrainConfig
+    from meme_challenge_tpu.core.seeding import set_seed
+    from meme_challenge_tpu.data.meme_dataset import BatchLoader, MemeDataset
+    from meme_challenge_tpu.models.text_models import (
+        TextBackbone,
+        TextModelConfig,
+        TransformerClassificationHead,
+    )
+    from meme_challenge_tpu.train.trainer import Trainer
+
+    synth = make_synthetic_dataset(str(tmp_path / "d"), n_train=24, n_dev=8,
+                                   img_dim=16)
+    tok = BertTokenizer(synth["vocab"])
+    tiny = TextModelConfig(vocab_size=tok.vocab_size, hidden_size=32,
+                           num_hidden_layers=2, num_attention_heads=2,
+                           intermediate_size=64, max_position_embeddings=32)
+    model = TransformerClassificationHead(
+        backbone=TextBackbone(tiny), num_classes=1, dropout=0.1)
+    cfg = TrainConfig(model_path=str(tmp_path / "ckpt"),
+                      model_save_name="txt.ckpt", lr=1e-3, batch_size=8,
+                      max_epoch=1, warmup_steps=2, optimizer="adamw",
+                      device_resident_data=True)
+    set_seed(cfg.seed)
+    train = BatchLoader(
+        MemeDataset(synth["train"], tokenizer=tok, text_only=True,
+                    max_txt_len=16), 8, shuffle_data=True,
+        index_batches=True)
+    val = BatchLoader(
+        MemeDataset(synth["dev_seen"], tokenizer=tok, text_only=True,
+                    max_txt_len=16), 8, index_batches=True)
+    # the regression: index-mode loaders must still yield an init example
+    example = val.example_batch()
+    assert "input_ids" in example and "indices" not in example
+    params = model.init(jax.random.PRNGKey(0), example,
+                        deterministic=True)["params"]
+    trainer = Trainer(cfg, model, params, train, val, [])
+    trainer.train_main()
+    assert "aucroc" in trainer.best_val_metrics
+
+
+def test_example_batch_matches_first_host_batch(tmp_path, vocab_file):
+    """Host-mode ``example_batch`` goes through ``__iter__`` (subclass batch
+    transforms preserved) and equals the first batch minus ``ids``."""
+    from meme_challenge_tpu.data.meme_dataset import BatchLoader, MemeDataset
+
+    synth = make_synthetic_dataset(str(tmp_path / "d"), n_train=12, n_dev=8,
+                                   img_dim=16)
+    tok = BertTokenizer(synth["vocab"])
+    ds = MemeDataset(synth["dev_seen"], tokenizer=tok,
+                     text_only=True, max_txt_len=16)
+    loader = BatchLoader(ds, 8)
+    ex = loader.example_batch()
+    first = dict(next(iter(loader)))
+    first.pop("ids", None)
+    assert set(ex) == set(first)
+    for k in ex:
+        np.testing.assert_array_equal(ex[k], first[k])
