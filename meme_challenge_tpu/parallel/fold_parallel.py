@@ -43,7 +43,11 @@ from meme_challenge_tpu.core.seeding import fold_seed, prng_key
 from meme_challenge_tpu.train.losses import make_loss_fn
 from meme_challenge_tpu.train.optim import make_optimizer
 from meme_challenge_tpu.train.schedules import make_schedule
-from meme_challenge_tpu.train.steps import TrainState, stack_for_accum
+from meme_challenge_tpu.train.steps import (
+    TrainState,
+    chunk_batches,
+    stack_for_accum,
+)
 
 logger = logging.getLogger("meme_challenge_tpu.fold_parallel")
 
@@ -355,27 +359,24 @@ class FoldParallelTrainer:
             # no per-step fetch: a per-step np.asarray would sync the host
             # against every dispatched step and serialize batch assembly
             # with device compute (the loss values were never consumed)
-            pending: List[dict] = []
-            for device_batch in self._fold_device_batches():
-                if K > 1:
-                    pending.append(device_batch)
-                    if len(pending) == K:
-                        chunk = {k: np.stack([b[k] for b in pending])
-                                 for k in pending[0]}
-                        self.state, _ = self._train_multi_step(
-                            self.state, chunk, self.fold_roots,
-                            self._train_data)
-                        pending = []
-                    continue
+            def run_single(device_batch):
                 fold_rngs = jax.vmap(jax.random.fold_in)(
                     self.fold_roots, self.state.step)
-                self.state, out = self._train_step(
+                self.state, _ = self._train_step(
                     self.state, device_batch, fold_rngs, self._train_data)
-            for device_batch in pending:  # tail < K: single steps
-                fold_rngs = jax.vmap(jax.random.fold_in)(
-                    self.fold_roots, self.state.step)
-                self.state, out = self._train_step(
-                    self.state, device_batch, fold_rngs, self._train_data)
+
+            def run_chunk(chunk_list):
+                chunk = {k: np.stack([b[k] for b in chunk_list])
+                         for k in chunk_list[0]}
+                self.state, _ = self._train_multi_step(
+                    self.state, chunk, self.fold_roots, self._train_data)
+
+            if K > 1:
+                for kind, x in chunk_batches(self._fold_device_batches(), K):
+                    (run_chunk if kind == "chunk" else run_single)(x)
+            else:
+                for device_batch in self._fold_device_batches():
+                    run_single(device_batch)
 
             metrics_per_fold = self.eval_folds()
             self._early_stopping_update(metrics_per_fold)

@@ -189,6 +189,26 @@ def make_train_multi_step(
     return jax.jit(multi_step, donate_argnums=(0,) if donate else ())
 
 
+def chunk_batches(stream, steps_per_dispatch: int):
+    """Group a batch stream for chunked dispatch: yields ``("chunk", [K
+    batches])`` for each full run and ``("single", batch)`` for the tail.
+
+    The tail dispatches as single steps on purpose — a variable-length
+    chunk would compile one program per distinct length (multi-minute
+    remote compiles). Shared by ``Trainer`` and ``FoldParallelTrainer``;
+    ``PretrainTrainer`` keeps its own variant because the MetaLoader
+    switches tasks mid-stream (same-task runs only) and drains losses at
+    a log cadence mid-epoch."""
+    pending: list = []
+    for item in stream:
+        pending.append(item)
+        if len(pending) == steps_per_dispatch:
+            yield "chunk", pending
+            pending = []
+    for item in pending:
+        yield "single", item
+
+
 def make_eval_step(model_apply_eval: Callable, probs_fn: Callable,
                    gather_data: bool = False):
     """Jitted eval step: batch → probabilities (no grads, no dropout).

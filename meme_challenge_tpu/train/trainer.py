@@ -43,6 +43,7 @@ from meme_challenge_tpu.train.optim import make_optimizer
 from meme_challenge_tpu.train.schedules import make_schedule
 from meme_challenge_tpu.train.steps import (
     TrainState,
+    chunk_batches,
     create_train_state,
     make_eval_step,
     make_train_multi_step,
@@ -263,15 +264,10 @@ class Trainer:
                 for device_batch in self._device_batches(self.train_loader):
                     run_single(device_batch)
             else:
-                K = self.steps_per_dispatch
-                pending: List[dict] = []
-                for device_batch in self._device_batches(self.train_loader):
-                    pending.append(device_batch)
-                    if len(pending) == K:
-                        run_chunk(pending)
-                        pending = []
-                for device_batch in pending:  # tail < K: single steps
-                    run_single(device_batch)
+                for kind, x in chunk_batches(
+                        self._device_batches(self.train_loader),
+                        self.steps_per_dispatch):
+                    (run_chunk if kind == "chunk" else run_single)(x)
             if losses:
                 losses = [np.asarray(x) for x in losses]        # sync point
                 epoch_probs = [np.asarray(x) for x in epoch_probs]
