@@ -304,10 +304,20 @@ class MRCBatcher:
     def __call__(self, batch: Dict[str, np.ndarray],
                  indices: np.ndarray) -> Dict[str, np.ndarray]:
         out = self._mrfr(batch)
-        out.pop("feat_targets", None)  # absent in index-mode batches
+        out.pop("feat_targets", None)  # MRC has no regression targets
+        idx = np.asarray(indices)
+        if "img_feat" not in batch:
+            # index-mode: ship only the [B, R] class ids (64 KB at b16) —
+            # the driver one-hots them in-graph (pretrain_driver._task_loss).
+            # A dense [B, R, 1601] fp32 one-hot is ~10 MB per micro-batch,
+            # which would leave the mrc task channel-bound on slow
+            # host→device links exactly like streamed features; padding rows
+            # are −1 and one_hot(−1) is the same all-zero row the dense path
+            # builds
+            out["label_cls"] = self._cls[idx].astype(np.int32)
+            return out
         B, R = batch["img_mask"].shape
         labels = np.zeros((B, R, self.label_dim), dtype=np.float32)
-        idx = np.asarray(indices)
         valid = np.arange(R)[None, :] < self._cls_count[idx][:, None]
         rows, regions = np.nonzero(valid)
         labels[rows, regions, self._cls[idx][rows, regions]] = 1.0
@@ -347,10 +357,12 @@ class TaskLoader:
                 chunk = np.concatenate(
                     [chunk, np.full(bs - valid, chunk[0], dtype=np.int64)])
             if self.index_batches:
+                # fancy indexing already yields fresh copies — batchers may
+                # mutate these without touching the dataset arrays
                 batch = {
-                    "input_ids": ds.input_ids[chunk].copy(),
+                    "input_ids": ds.input_ids[chunk],
                     "position_ids": ds.position_ids[chunk],
-                    "txt_mask": ds.txt_mask[chunk].copy(),
+                    "txt_mask": ds.txt_mask[chunk],
                     "img_mask": ds.img_mask[chunk],
                     "indices": chunk.astype(np.int32),
                 }

@@ -102,9 +102,16 @@ def brute_force_finder(predictions: np.ndarray, labels: np.ndarray,
                        num_weights: int,
                        weight_range: Sequence[float] = (0.0, 0.5, 1.0, 2.0),
                        max_weights: int = 10000,
-                       batch: int = 2048) -> Tuple[float, dict]:
+                       batch: int = 16384) -> Tuple[float, dict]:
     """Grid search with the reference's candidate enumeration + tie-breaking
-    (ensemble.py:180-203), scored on device in batches."""
+    (ensemble.py:180-203), scored on device.
+
+    The whole default grid (10k tuples ≤ ``batch``) scores as ONE device
+    call; larger grids go in equal-size chunks (the tail padded by repeating
+    its first tuple, pad scores trimmed before the argmax) so every dispatch
+    reuses one compiled program — distinct tail shapes each cost a fresh
+    multi-minute compile on a remote compile service, which is what
+    dominated the search wall-clock after the EA moved on device (r3)."""
     if (np.log(len(weight_range)) * num_weights) < np.log(2e7):
         weight_tuples = [list(w) for w in product(weight_range,
                                                   repeat=num_weights)]
@@ -125,10 +132,18 @@ def brute_force_finder(predictions: np.ndarray, labels: np.ndarray,
     preds_dev = jnp.asarray(predictions, jnp.float32)
     labels_dev = jnp.asarray(labels)
     best_score, best_idx = -1.0, None  # flat index into (tuple, space) order
-    for start in range(0, len(weight_tuples), batch):
+    n_tuples = len(weight_tuples)
+    for start in range(0, n_tuples, batch):
         chunk = np.asarray(weight_tuples[start:start + batch], np.float32)
+        valid = chunk.shape[0]
+        if valid < batch and start > 0:
+            # pad the tail chunk to the compiled shape (first row repeated;
+            # its scores are trimmed below, so ties still resolve to the
+            # first REAL candidate in enumeration order)
+            chunk = np.concatenate(
+                [chunk, np.repeat(chunk[:1], batch - valid, axis=0)])
         scores = np.asarray(ensemble_scores(preds_dev, jnp.asarray(chunk),
-                                            labels_dev))  # [2, k]
+                                            labels_dev))[:, :valid]  # [2, k]
         # enumeration order: tuple-major, logit before prob (strict >)
         flat = scores.T.reshape(-1)  # [(k0,logit),(k0,prob),(k1,logit)...]
         i = int(np.argmax(flat))

@@ -147,25 +147,49 @@ class FoldParallelTrainer:
     # ------------------------------------------------------------- jit steps
 
     def _stack_fold_data(self, loaders):
-        """Per-fold dataset arrays stacked [F, N_max, ...] (shorter folds
-        zero-padded — padding rows are never indexed) and uploaded once,
-        fold-sharded when a mesh is set."""
-        per = [l.dataset.device_arrays() for l in loaders]
-        n_max = max(next(iter(d.values())).shape[0] for d in per)
+        """Shared union corpus + per-fold index translation:
+        ``({key: [N_union, ...]}, [F, N_max] int32)``.
 
-        def pad(a):
-            a = np.asarray(a)
-            if a.shape[0] == n_max:
-                return a
-            out = np.zeros((n_max,) + a.shape[1:], a.dtype)
-            out[:a.shape[0]] = a
-            return out
-
-        stacked = {k: np.stack([pad(d[k]) for d in per]) for k in per[0]}
+        Crossval fold TRAIN splits overlap (F−1)/F, so stacking per-fold
+        copies ``[F, N, ...]`` multiplies HBM by ~F wherever the fold axis
+        is not sharded over devices (single-chip many-fold runs OOM on the
+        ~4 GB HM corpus at F≥4). Instead the union of the folds' rows —
+        deduped by meme id; rows for one id are identical across folds by
+        construction (same source jsonl, tokenizer settings, feature store)
+        — uploads once, REPLICATED over the mesh, and each fold carries only
+        an ``[N_max]`` int32 local→global row table (fold-sharded; padding
+        slots point at row 0 and are never selected by real indices).
+        Disjoint fold datasets (val dev-splits) degenerate to concatenation
+        at zero overhead."""
+        datasets = [l.dataset for l in loaders]
+        n_max = max(len(d) for d in datasets)
+        global_row: dict = {}
+        new_rows_per_fold = []
+        trans = np.zeros((len(datasets), n_max), np.int32)
+        for f, d in enumerate(datasets):
+            new_rows = []
+            for local, id_ in enumerate(d.ids.tolist()):
+                g = global_row.get(id_)
+                if g is None:
+                    g = len(global_row)
+                    global_row[id_] = g
+                    new_rows.append(local)
+                trans[f, local] = g
+            new_rows_per_fold.append(np.asarray(new_rows, np.int64))
+        arrays = [d.device_arrays() for d in datasets]
+        shared = {k: np.concatenate(
+            [a[k][rows] for a, rows in zip(arrays, new_rows_per_fold)
+             if rows.size])
+            for k in arrays[0]}
         if self.mesh is not None:
-            sh = NamedSharding(self.mesh, P("fold"))
-            return {k: jax.device_put(v, sh) for k, v in stacked.items()}
-        return {k: jax.device_put(v) for k, v in stacked.items()}
+            rep = NamedSharding(self.mesh, P())
+            shared = {k: jax.device_put(v, rep) for k, v in shared.items()}
+            trans = jax.device_put(trans, NamedSharding(self.mesh,
+                                                        P("fold")))
+        else:
+            shared = {k: jax.device_put(v) for k, v in shared.items()}
+            trans = jax.device_put(trans)
+        return shared, trans
 
     def _build_steps(self):
         from meme_challenge_tpu.train.steps import gather_micro
@@ -176,11 +200,19 @@ class FoldParallelTrainer:
         loss_fn = self.loss_fn
         tx = self.tx
         gather = self._gather
-        data_axis = 0 if gather else None
+        # data = (shared union corpus — unmapped, replicated) +
+        # (this fold's local→global row table — mapped over the fold axis)
+        data_axis = (None, 0) if gather else None
+
+        def fold_gather(data, batch):
+            shared, trans_f = data
+            b = dict(batch)
+            b["indices"] = jnp.take(trans_f, batch["indices"], axis=0)
+            return gather_micro(shared, b)
 
         def micro_loss(params, micro_batch, rng, data):
             if gather:
-                micro_batch = gather_micro(data, micro_batch)
+                micro_batch = fold_gather(data, micro_batch)
             logits = model.apply({"params": params}, micro_batch,
                                  deterministic=False, rngs={"dropout": rng})
             loss, probs = loss_fn(logits, micro_batch["labels"],
@@ -230,7 +262,7 @@ class FoldParallelTrainer:
 
         def fold_eval(params, batch, data):
             if gather:
-                batch = gather_micro(data, batch)
+                batch = fold_gather(data, batch)
             logits = model.apply({"params": params}, batch,
                                  deterministic=True)
             if c.loss_func == "ce":
@@ -596,8 +628,12 @@ class FoldParallelTrainer:
         broadcast) eval step."""
         saved = self.state
         self.state = self.state._replace(params=self.best_params)
-        shared_data = (jax.device_put(loader.dataset.device_arrays())
-                       if self._gather else None)
+        # identity translation: fold_eval uniformly unpacks (arrays, table)
+        shared_data = None
+        if self._gather:
+            arrays = jax.device_put(loader.dataset.device_arrays())
+            ident = jnp.arange(len(loader.dataset), dtype=jnp.int32)
+            shared_data = (arrays, ident)
         try:
             probs_chunks, ids_chunks = [], []
             for batch in loader:

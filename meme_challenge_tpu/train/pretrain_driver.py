@@ -61,6 +61,13 @@ def _task_loss(model: UniterForPretraining, params, batch, task: str,
             if task == "mrfr":
                 batch["feat_targets"] = feats
             batch["img_feat"] = feats * (1.0 - zero_mask)
+        if task.startswith("mrc") and "label_targets" not in batch:
+            # index-mode MRC ships [B, R] class ids (data/pretrain.py
+            # MRCBatcher); the dense one-hot materializes here in-graph.
+            # Padding rows are −1 → all-zero rows, same as the host path
+            batch["label_targets"] = jax.nn.one_hot(
+                batch.pop("label_cls"), model.img_label_dim,
+                dtype=jnp.float32)
     variables = {"params": params}
     rngs = {"dropout": rng}
     # every task weights by sample_mask: TaskLoader pads the final batch by
@@ -245,7 +252,11 @@ class PretrainTrainer:
 
         pending: list = []
         pending_task: Optional[str] = None
-        next_idx = 0  # optimizer steps dispatched so far (== state.step)
+        # optimizer steps dispatched so far — seeded from the PERSISTENT
+        # state.step, not 0: a second train() call on the same trainer
+        # (warmup-then-timed loops) must continue the dropout-RNG stream
+        # where the chunked path's in-graph fold_in(root, state.step) does
+        next_idx = int(self.state.step)
 
         def flush():
             nonlocal pending, pending_task, next_idx

@@ -148,7 +148,7 @@ def make_train_multi_step(
     accum_steps: int = 1,
     steps_per_dispatch: int = 8,
     donate: bool = True,
-    gather_data: bool = True,
+    gather_data: bool = False,
 ):
     """``steps_per_dispatch`` optimizer steps in ONE jitted dispatch.
 

@@ -216,9 +216,15 @@ def test_fold_sharded_device_resident_data(synth, tmp_path):
                                 train_i, val_i, mesh=mesh)
     t_host = FoldParallelTrainer(cfg, model, params_stacked,
                                  train_h, val_h, mesh=None)
-    # the fold-sharded stacked data really is sharded over the fold axis
-    feat = t_idx._train_data["img_feat"]
-    assert feat.sharding.spec[0] == "fold", feat.sharding.spec
+    # shared union corpus: replicated arrays + fold-sharded index tables,
+    # deduped by meme id (overlapping fold train splits share rows)
+    shared, trans = t_idx._train_data
+    feat = shared["img_feat"]
+    assert feat.sharding.spec == P(), feat.sharding.spec
+    assert trans.sharding.spec[0] == "fold", trans.sharding.spec
+    uniq = {i for l in train_i for i in l.dataset.ids.tolist()}
+    assert feat.shape[0] == len(uniq)
+    assert feat.shape[0] < sum(len(l.dataset) for l in train_i)
     # shuffle_data loaders draw from the global python RNG: realign streams
     from meme_challenge_tpu.core.seeding import set_seed
     set_seed(0)

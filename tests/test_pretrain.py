@@ -156,6 +156,33 @@ def test_mrc_labels_match_objects(corpus):
         assert lab[row].sum() == k
 
 
+def test_mrc_index_mode_class_ids_match_dense(corpus):
+    """Index-mode MRC ships [B, R] class ids instead of the dense
+    [B, R, 1601] one-hot (~10 MB/micro-batch); one-hotting them (−1 →
+    all-zero row, as jax.nn.one_hot does in the driver) must reproduce the
+    dense host labels exactly."""
+    import jax
+
+    ds, _ = corpus
+    idx = np.arange(6)
+    random.seed(5)
+    dense = MRCBatcher(ds, mask_prob=0.3)(ds.batch(idx), idx)
+    # index-mode batch: no img_feat key
+    index_batch = {"input_ids": ds.input_ids[idx],
+                   "txt_mask": ds.txt_mask[idx],
+                   "img_mask": ds.img_mask[idx],
+                   "indices": idx.astype(np.int32)}
+    random.seed(5)
+    compact = MRCBatcher(ds, mask_prob=0.3)(index_batch, idx)
+    assert "label_targets" not in compact
+    assert compact["label_cls"].shape == ds.img_mask[idx].shape
+    onehot = np.asarray(jax.nn.one_hot(compact["label_cls"], 1601,
+                                       dtype=np.float32))
+    np.testing.assert_array_equal(onehot, dense["label_targets"])
+    # same region masks in both modes (host RNG stream identical)
+    np.testing.assert_array_equal(compact["img_masks"], dense["img_masks"])
+
+
 def test_meta_loader_holds_task_across_accum(corpus):
     ds, tok = corpus
     random.seed(7)
