@@ -67,6 +67,29 @@ class _Timeout(Exception):
     pass
 
 
+def _device_backend_reachable(timeout_s: int = 150) -> bool:
+    """Probe the accelerator in a SUBPROCESS with a hard kill.
+
+    When the axon relay tunnel is unhealthy, the PJRT client handshake
+    blocks inside C and never returns to the interpreter — SIGALRM-based
+    timeouts cannot interrupt it (verified live: an alarm(30) never fired
+    through a 110 s hang). A subprocess is the only bound that holds. The
+    per-metric alarms below stay effective for everything AFTER the
+    handshake (slow remote compiles ARE python-interruptible)."""
+    import subprocess
+    import sys
+
+    code = ("import numpy as np, jax, jax.numpy as jnp; "
+            "x = jnp.ones((4, 4), jnp.float32); "
+            "print(float(np.asarray(x @ x).sum()))")
+    try:
+        r = subprocess.run([sys.executable, "-c", code],
+                           timeout=timeout_s, capture_output=True)
+        return r.returncode == 0
+    except subprocess.TimeoutExpired:
+        return False
+
+
 def _alarm(*_):
     raise _Timeout()
 
@@ -572,8 +595,37 @@ def bench_extraction():
 
 
 def main():
-    headline = bench_headline()
+    # Relay watchdog: the first in-process device contact would hang
+    # UNINTERRUPTIBLY if the tunnel is down — probe in a subprocess first
+    # (3 tries ≈ 8 min: relay outages observed to be window-shaped) so the
+    # capture always emits its one JSON line.
+    for attempt in range(3):
+        if _device_backend_reachable():
+            break
+        time.sleep(30)
+    else:
+        print(json.dumps({
+            "metric": "memes_per_sec_per_chip_uniter_base_finetune",
+            "value": 0.0, "unit": "memes/s/chip", "vs_baseline": 0.0,
+            "extra_metrics": {"error": "device backend unreachable: the "
+                              "relay handshake hung past 150 s in 3 probe "
+                              "subprocesses; no measurement possible"},
+        }))
+        return
+
+    headline, headline_err = 0.0, None
+    for attempt in range(2):  # retry once: server-side compile cache warms
+        try:
+            headline = _with_timeout(bench_headline, 600)
+            headline_err = None
+            break
+        except Exception as e:  # noqa: BLE001 — report, don't sink the run
+            headline_err = f"error: {type(e).__name__}: {e}"[:200]
+            if not isinstance(e, _Timeout):
+                break
     extras = {}
+    if headline_err is not None:
+        extras["headline_error"] = headline_err
     # (name, fn, budget_s, retries): UNITER-large gets a dedicated larger
     # budget — its 24-layer remote compile blew the default 420 s window in
     # one capture — plus one retry: the remote compile service caches by HLO
