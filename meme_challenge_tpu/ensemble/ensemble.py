@@ -285,6 +285,22 @@ def ea_ensemble_finder_device(predictions: np.ndarray, labels: np.ndarray,
                      "on_logits": True}
 
 
+def uniform_crossover_pairs(off: np.ndarray,
+                            gene_mask: np.ndarray) -> np.ndarray:
+    """In-place uniform crossover over consecutive pairs (DEAP ``cxUniform``
+    semantics, reference ensemble.py:252): where ``gene_mask[i]`` is True,
+    pair ``(off[2i], off[2i+1])`` swaps that gene. Returns ``off``."""
+    half = gene_mask.shape[0]
+    # copies, not views: writing the even rows below must not alias the `a`
+    # the odd rows read, or the odd offspring collapse to clones of parent b
+    # instead of receiving the complementary gene swap
+    a = off[0:2 * half:2].copy()
+    b = off[1:2 * half:2].copy()
+    off[0:2 * half:2] = np.where(gene_mask, b, a)
+    off[1:2 * half:2] = np.where(gene_mask, a, b)
+    return off
+
+
 def ea_ensemble_finder(predictions: np.ndarray, labels: np.ndarray,
                        num_weights: int,
                        individual_scores: Sequence[float],
@@ -339,9 +355,7 @@ def ea_ensemble_finder(predictions: np.ndarray, labels: np.ndarray,
         half = off.shape[0] // 2
         do_cx = rs.random_sample(half) < cxpb
         gene_mask = (rs.random_sample((half, F)) < 0.5) & do_cx[:, None]
-        a, b = off[0:2 * half:2], off[1:2 * half:2]
-        off[0:2 * half:2] = np.where(gene_mask, b, a)
-        off[1:2 * half:2] = np.where(gene_mask, a, b)
+        off = uniform_crossover_pairs(off, gene_mask)
         do_mut = rs.random_sample(off.shape[0]) < mutpb
         return np.where(do_mut[:, None], mutate_all(off), off)
 

@@ -107,3 +107,25 @@ def test_device_ea_stagnation_reinit_runs(rng):
         preds, labels, num_weights=F, individual_scores=[0.5] * F,
         population_size=16, num_generations=60)
     assert np.isfinite(score) and len(cfg["weights"]) == F
+
+
+def test_uniform_crossover_complementary_swap(rng):
+    """DEAP cxUniform semantics: a masked gene SWAPS between the pair —
+    both children change, complementarily, and each gene column's multiset
+    is preserved. Regression: a numpy view-aliasing bug made the odd child
+    a clone of parent b whenever the gene was masked."""
+    from meme_challenge_tpu.ensemble.ensemble import uniform_crossover_pairs
+
+    half, F = 8, 5
+    parents = rng.rand(2 * half, F)
+    mask = rng.rand(half, F) < 0.5
+    off = uniform_crossover_pairs(parents.copy(), mask)
+    a, b = parents[0::2], parents[1::2]
+    np.testing.assert_array_equal(off[0::2], np.where(mask, b, a))
+    np.testing.assert_array_equal(off[1::2], np.where(mask, a, b))
+    # multiset per gene position is conserved by the swap
+    np.testing.assert_allclose(off[0::2] + off[1::2], a + b)
+    # masked genes really moved on BOTH sides (the aliasing bug left the
+    # odd child equal to b everywhere)
+    distinct = mask & (a != b)
+    assert (off[1::2] != b)[distinct].all()
