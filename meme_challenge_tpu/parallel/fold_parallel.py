@@ -46,6 +46,7 @@ from meme_challenge_tpu.train.schedules import make_schedule
 from meme_challenge_tpu.train.steps import (
     TrainState,
     chunk_batches,
+    stack_chunk,
     stack_for_accum,
 )
 
@@ -398,8 +399,7 @@ class FoldParallelTrainer:
                     self.state, device_batch, fold_rngs, self._train_data)
 
             def run_chunk(chunk_list):
-                chunk = {k: np.stack([b[k] for b in chunk_list])
-                         for k in chunk_list[0]}
+                chunk = stack_chunk(chunk_list)
                 self.state, _ = self._train_multi_step(
                     self.state, chunk, self.fold_roots, self._train_data)
 

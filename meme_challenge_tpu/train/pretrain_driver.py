@@ -33,7 +33,11 @@ from meme_challenge_tpu.models.uniter import UniterForPretraining
 from meme_challenge_tpu.train.checkpoint import ModelSaver, save_train_state
 from meme_challenge_tpu.train.optim import make_optimizer
 from meme_challenge_tpu.train.schedules import make_schedule
-from meme_challenge_tpu.train.steps import TrainState, create_train_state
+from meme_challenge_tpu.train.steps import (
+    TrainState,
+    create_train_state,
+    stack_chunk,
+)
 
 logger = logging.getLogger("meme_challenge_tpu.pretrain")
 
@@ -264,8 +268,7 @@ class PretrainTrainer:
                 return
             task = pending_task
             if len(pending) == K:
-                chunk = {k: np.stack([b[k] for b in pending])
-                         for k in pending[0]}
+                chunk = stack_chunk(pending)
                 self.state, losses = self._get_task_multi_step(task)(
                     self.state, chunk, self.root_rng, self.data)
                 step_log.append((task, losses))

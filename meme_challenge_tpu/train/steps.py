@@ -20,6 +20,7 @@ from typing import Any, Callable, Dict, NamedTuple, Optional, Tuple
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 import optax
 
 Array = jax.Array
@@ -189,6 +190,13 @@ def make_train_multi_step(
     return jax.jit(multi_step, donate_argnums=(0,) if donate else ())
 
 
+def stack_chunk(chunk: list) -> Dict[str, Array]:
+    """Stack K per-step batches into the [K, ...] input of
+    :func:`make_train_multi_step` (numpy: leaves upload inside the one
+    dispatch — see :func:`stack_for_accum`)."""
+    return {k: np.stack([b[k] for b in chunk]) for k in chunk[0]}
+
+
 def chunk_batches(stream, steps_per_dispatch: int):
     """Group a batch stream for chunked dispatch: yields ``("chunk", [K
     batches])`` for each full run and ``("single", batch)`` for the tail.
@@ -237,8 +245,6 @@ def stack_for_accum(batches: list) -> Dict[str, Array]:
     (measured: the pretrain driver loop ran at 19 memes/s vs 802 for the
     step alone before this was fixed, r3).
     """
-    import numpy as np
-
     out: Dict[str, Array] = {}
     for key in batches[0]:
         out[key] = np.stack([np.asarray(b[key]) for b in batches], axis=0)

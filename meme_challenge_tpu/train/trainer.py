@@ -48,6 +48,7 @@ from meme_challenge_tpu.train.steps import (
     make_eval_step,
     make_train_multi_step,
     make_train_step,
+    stack_chunk,
     stack_for_accum,
 )
 
@@ -248,8 +249,7 @@ class Trainer:
                 # per-step RNG derives in-graph from state.step — the same
                 # fold_in stream run_single produces from host_step
                 nonlocal host_step, n_steps
-                stacked = {k: np.stack([b[k] for b in chunk])
-                           for k in chunk[0]}
+                stacked = stack_chunk(chunk)
                 self.state, out = self.train_multi_step(
                     self.state, stacked, self.root_rng, train_data)
                 losses.append(out["loss"])
