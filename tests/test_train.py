@@ -278,6 +278,49 @@ def test_device_resident_data_matches_host_batches(synth, tmp_path):
     assert dev_best["aucroc"] == pytest.approx(host_best["aucroc"], abs=1e-6)
 
 
+def test_mixed_loader_modes_match(synth, tmp_path):
+    """The Trainer detects batch mode PER LOADER — an index-mode train
+    loader with a host-batch val loader (and vice versa) must reproduce the
+    all-host run pointwise."""
+    import os
+
+    from meme_challenge_tpu.core.seeding import set_seed
+    from meme_challenge_tpu.data.meme_dataset import BatchLoader, MemeDataset
+    from meme_challenge_tpu.data.tokenizer import BertTokenizer
+    from meme_challenge_tpu.models.uniter import MemeUniter
+    from meme_challenge_tpu.train.trainer import Trainer
+
+    ucfg, tcfg = _tiny_configs(synth, tmp_path, max_epoch=1,
+                               model_save_name="mixed.ckpt")
+    tok = BertTokenizer(synth["vocab"])
+    kwargs = dict(feature_dir=synth["feature_dir"], tokenizer=tok,
+                  max_txt_len=12, max_bb=16, img_dim=32)
+    model = MemeUniter(ucfg, n_classes=1)
+
+    def run(train_idx, val_idx):
+        set_seed(tcfg.seed)
+        train = BatchLoader(MemeDataset(
+            os.path.join(synth["root"], "train.jsonl"), **kwargs), 8,
+            index_batches=train_idx)
+        val = BatchLoader(MemeDataset(
+            os.path.join(synth["root"], "dev_seen.jsonl"), **kwargs), 8,
+            index_batches=val_idx)
+        example = train.example_batch()
+        params = model.init(jax.random.PRNGKey(0), example,
+                            deterministic=True)["params"]
+        trainer = Trainer(tcfg, model, jax.tree.map(np.copy, params),
+                          train, val, [])
+        best, _ = trainer.train_main()
+        probs, _, _ = trainer.predict(val)
+        return best["aucroc"], probs
+
+    base_auc, base_probs = run(False, False)
+    for train_idx, val_idx in [(True, False), (False, True)]:
+        auc, probs = run(train_idx, val_idx)
+        np.testing.assert_allclose(probs, base_probs, atol=2e-6)
+        assert auc == pytest.approx(base_auc, abs=1e-6), (train_idx, val_idx)
+
+
 def test_chunked_dispatch_matches_single_step(synth, tmp_path):
     """steps_per_dispatch>1 (lax.scan over whole optimizer steps, one
     dispatch per chunk) reproduces the single-step trainer pointwise: the
