@@ -53,6 +53,20 @@ from meme_challenge_tpu.train.steps import (
 logger = logging.getLogger("meme_challenge_tpu.fold_parallel")
 
 
+def _check_equal_batch_counts(loaders, what: str) -> None:
+    """The fold-parallel eval/export loops zip per-fold loaders and stop at
+    the FIRST exhausted one — unequal batch counts would silently drop tail
+    batches of the longer folds. The shipped drivers always pass
+    equal-length loaders (fixed dev_size val splits, shared test sets);
+    anything else must fail loudly here, not truncate."""
+    counts = {len(l) for l in loaders}
+    if len(counts) > 1:
+        raise ValueError(
+            f"{what} fold loaders have unequal batch counts {sorted(counts)}"
+            " — the stacked [F, B, ...] eval would drop the longer folds'"
+            " tail batches (training cycles unequal folds; eval cannot)")
+
+
 class FoldParallelTrainer:
     """Train F folds of the same model simultaneously on one mesh.
 
@@ -428,6 +442,7 @@ class FoldParallelTrainer:
 
     def eval_folds(self) -> List[Dict[str, float]]:
         """Fold-parallel validation: batches stacked [F, B, ...]."""
+        _check_equal_batch_counts(self.val_loaders, "val")
         iters = [iter(l) for l in self.val_loaders]
         probs_per_fold = [[] for _ in range(self.num_folds)]
         labels_per_fold = [[] for _ in range(self.num_folds)]
@@ -594,6 +609,7 @@ class FoldParallelTrainer:
             "(index_batches)")
         if len(loaders) > 1 and all(l is loaders[0] for l in loaders):
             return self._predict_shared(loaders[0])
+        _check_equal_batch_counts(loaders, "predict")
         pred_data = self._stack_fold_data(loaders) if pred_gather else None
         saved = self.state
         self.state = self.state._replace(params=self.best_params)

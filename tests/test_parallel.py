@@ -279,3 +279,21 @@ def test_fold_parallel_chunked_dispatch_parity(synth, tmp_path):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=2e-6)
     for m1, m3 in zip(t1.fold_val_metrics, t3.fold_val_metrics):
         assert m1["aucroc"] == pytest.approx(m3["aucroc"], abs=1e-6)
+
+
+def test_unequal_fold_loader_batch_counts_rejected():
+    """Per-fold eval/export zips fold loaders; unequal batch counts must
+    raise (silent truncation would drop the longer folds' tail batches)."""
+    from meme_challenge_tpu.parallel.fold_parallel import (
+        _check_equal_batch_counts)
+
+    class L:
+        def __init__(self, n):
+            self.n = n
+
+        def __len__(self):
+            return self.n
+
+    _check_equal_batch_counts([L(3), L(3)], "val")  # equal: fine
+    with pytest.raises(ValueError, match="unequal batch counts"):
+        _check_equal_batch_counts([L(3), L(4)], "val")
