@@ -119,9 +119,19 @@ class ImageBertForSequenceClassification(nn.Module):
 
     def __call__(self, batch: Dict[str, Array],
                  deterministic: bool = True) -> Array:
+        img_feat = batch.get("img_feat")
+        if (img_feat is not None and "img_pos_feat" in batch
+                and img_feat.shape[-1] == self.img_feature_dim - 6):
+            # raw (2048-d features, 7-d geometry) pair — the device-resident
+            # gather path (steps.gather_micro) yields the dataset's stored
+            # arrays; assemble the 2054-d Oscar features IN-GRAPH (the host
+            # path ships them pre-assembled by OscarBatchLoader). Shape
+            # check is trace-time static, so both forms share one module.
+            img_feat = oscar_batch_features(img_feat,
+                                            batch["img_pos_feat"])
         _, pooled = self.bert(
             batch["input_ids"], batch["txt_mask"],
-            img_feat=batch.get("img_feat"), img_mask=batch.get("img_mask"),
+            img_feat=img_feat, img_mask=batch.get("img_mask"),
             token_type_ids=batch.get("token_type_ids"),
             deterministic=deterministic)
         x = self.head_dropout(pooled, deterministic=deterministic)

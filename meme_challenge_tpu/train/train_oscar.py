@@ -37,9 +37,11 @@ logger = logging.getLogger("meme_challenge_tpu.train_oscar")
 class OscarBatchLoader(BatchLoader):
     """Wraps batches with the 2054-d Oscar feature assembly.
 
-    Always host-batched: the per-batch 2048⊕6 feature concat happens here,
-    so ``device_resident_data`` is intentionally not wired for Oscar (the
-    gather path would bypass the assembly)."""
+    Host mode: the per-batch 2048⊕6 feature concat happens here. Index mode
+    (``device_resident_data``): batches carry no features, the Trainer
+    gathers the dataset's raw (2048-d, 7-d geometry) arrays on device, and
+    the MODEL assembles the 2054-d features in-graph
+    (models/oscar.py:ImageBertForSequenceClassification)."""
 
     def __iter__(self):
         for batch in super().__iter__():
@@ -62,11 +64,14 @@ def build_oscar_entry(config: TrainConfig, oscar_config: UniterConfig,
     ds_kwargs = dict(feature_dir=config.feature_path, tokenizer=tokenizer,
                      max_txt_len=config.max_txt_len, max_bb=config.max_bb,
                      confidence_threshold=config.object_conf_thresh,
-                     img_dim=2048)
+                     # stored features are Oscar's img_feature_dim minus the
+                     # 6-d geometry the loader/model appends (2054 → 2048
+                     # with config/oscar-base.json)
+                     img_dim=oscar_config.img_dim - 6)
 
     def make_loader(path, sampler=False, return_ids=False):
         ds = MemeDataset(path, return_ids=return_ids, **ds_kwargs)
-        kw = {}
+        kw = {"index_batches": config.device_resident_data}
         if sampler:
             kw["sampler"] = ConfounderSampler(
                 ds, repeat_factor=config.confounder_repeat)

@@ -216,3 +216,56 @@ def test_visualize_boxes_tool(tmp_path):
     finally:
         vb.dataclasses.replace = real_replace
     assert (out_dir / "m_annotated.png").exists()
+
+
+def test_oscar_entry_end_to_end_device_resident_matches_host(tmp_path):
+    """build_oscar_entry trains on synthetic data through the crossval
+    driver in BOTH batch modes; device-resident (index loaders + in-graph
+    2054-d assembly, models/oscar.py) must match the host path (loader-side
+    assembly) pointwise."""
+    from meme_challenge_tpu.core.config import TrainConfig, UniterConfig
+    from meme_challenge_tpu.core.seeding import set_seed
+    from meme_challenge_tpu.train.crossval_driver import train_crossval
+    from meme_challenge_tpu.train.train_oscar import build_oscar_entry
+    from meme_challenge_tpu.utils.synthetic import make_synthetic_dataset
+
+    synth = make_synthetic_dataset(str(tmp_path / "d"), n_train=24, n_dev=8,
+                                   n_test=8, img_dim=16, label_signal=3.0)
+    ocfg = UniterConfig(vocab_size=64, hidden_size=32, num_hidden_layers=1,
+                        num_attention_heads=2, intermediate_size=64,
+                        img_dim=22,  # stored 16-d + 6-d geometry
+                        max_position_embeddings=32,
+                        hidden_dropout_prob=0.0,
+                        attention_probs_dropout_prob=0.0)
+
+    def run(device_resident):
+        cfg = TrainConfig(
+            data_path=synth["root"], feature_path=synth["feature_dir"],
+            model_path=str(tmp_path / f"ck{int(device_resident)}"),
+            model_save_name="oscar.ckpt", lr=1e-3, batch_size=8,
+            max_epoch=2, warmup_steps=2, max_txt_len=8, max_bb=8, seed=7,
+            loss_func="ce",  # n_classes derives to 2
+            # the CE/multiclass metrics path has no AUROC (reference
+            # metrics.py:16-20) — the Oscar CLI sets optimize_for=accuracy
+            optimize_for="accuracy",
+            adam_mu_dtype="float32", adam_nu_dtype="float32",
+            device_resident_data=device_resident)
+        os.makedirs(cfg.model_path, exist_ok=True)
+        set_seed(7)
+        loader_funcs, test_loaders, factory = build_oscar_entry(
+            cfg, ocfg, synth["vocab"])
+        assert all(getattr(l, "index_batches", False) == device_resident
+                   for l in test_loaders)
+        val_metrics, _ = train_crossval(factory, cfg, loader_funcs,
+                                        test_loaders, num_folds=0)
+        csv = os.path.join(cfg.model_path, "oscar_dev_seen_preds.csv")
+        assert os.path.isfile(csv)
+        with open(csv) as f:
+            rows = f.read()
+        return val_metrics["accuracy"], rows
+
+    host_acc, host_csv = run(False)
+    dev_acc, dev_csv = run(True)
+    assert np.isfinite(host_acc)
+    assert dev_acc == pytest.approx(host_acc, abs=1e-6)
+    assert dev_csv == host_csv, "device-resident CSV export must match host"
