@@ -67,7 +67,7 @@ class _Timeout(Exception):
     pass
 
 
-def _device_backend_reachable(timeout_s: int = 150) -> bool:
+def _device_backend_reachable(timeout_s: int = 150):
     """Probe the accelerator in a SUBPROCESS with a hard kill.
 
     When the axon relay tunnel is unhealthy, the PJRT client handshake
@@ -75,7 +75,11 @@ def _device_backend_reachable(timeout_s: int = 150) -> bool:
     timeouts cannot interrupt it (verified live: an alarm(30) never fired
     through a 110 s hang). A subprocess is the only bound that holds. The
     per-metric alarms below stay effective for everything AFTER the
-    handshake (slow remote compiles ARE python-interruptible)."""
+    handshake (slow remote compiles ARE python-interruptible).
+
+    Returns ``(ok, detail)``: hangs and crashes are distinguished so the
+    capture's one JSON line carries the true diagnosis (a 2 s import error
+    is not a relay hang), with the probe's stderr tail attached."""
     import subprocess
     import sys
 
@@ -85,9 +89,12 @@ def _device_backend_reachable(timeout_s: int = 150) -> bool:
     try:
         r = subprocess.run([sys.executable, "-c", code],
                            timeout=timeout_s, capture_output=True)
-        return r.returncode == 0
     except subprocess.TimeoutExpired:
-        return False
+        return False, f"probe hung past {timeout_s} s (relay handshake)"
+    if r.returncode == 0:
+        return True, ""
+    tail = r.stderr.decode(errors="replace").strip()[-300:]
+    return False, f"probe exited {r.returncode}: {tail}"
 
 
 def _alarm(*_):
@@ -600,16 +607,18 @@ def main():
     # (3 tries ≈ 8 min: relay outages observed to be window-shaped) so the
     # capture always emits its one JSON line.
     for attempt in range(3):
-        if _device_backend_reachable():
+        ok, probe_detail = _device_backend_reachable()
+        if ok:
             break
-        time.sleep(30)
+        if attempt < 2:
+            time.sleep(30)
     else:
         print(json.dumps({
             "metric": "memes_per_sec_per_chip_uniter_base_finetune",
             "value": 0.0, "unit": "memes/s/chip", "vs_baseline": 0.0,
-            "extra_metrics": {"error": "device backend unreachable: the "
-                              "relay handshake hung past 150 s in 3 probe "
-                              "subprocesses; no measurement possible"},
+            "extra_metrics": {"error": "device backend unreachable after 3 "
+                              "probe subprocesses; no measurement possible. "
+                              f"Last probe: {probe_detail}"},
         }))
         return
 

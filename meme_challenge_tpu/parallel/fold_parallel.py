@@ -105,6 +105,9 @@ class FoldParallelTrainer:
                 "fold train loaders have unequal lengths %s; each epoch "
                 "runs max(%i) steps per fold, shorter folds cycle",
                 sorted(lengths), max(lengths))
+        # val loaders cannot cycle (eval must see every sample once) — fail
+        # at construction, not after the first full training epoch
+        _check_equal_batch_counts(val_loaders, "val")
         self.mesh = mesh
 
         c = config

@@ -192,9 +192,9 @@ def make_train_multi_step(
 
 def stack_chunk(chunk: list) -> Dict[str, Array]:
     """Stack K per-step batches into the [K, ...] input of
-    :func:`make_train_multi_step` (numpy: leaves upload inside the one
-    dispatch — see :func:`stack_for_accum`)."""
-    return {k: np.stack([b[k] for b in chunk]) for k in chunk[0]}
+    :func:`make_train_multi_step` — the same leading-axis numpy stack as
+    :func:`stack_for_accum`, named for the dispatch-chunk level."""
+    return stack_for_accum(chunk)
 
 
 def chunk_batches(stream, steps_per_dispatch: int):

@@ -90,8 +90,12 @@ def build_oscar_entry(config: TrainConfig, oscar_config: UniterConfig,
     ]
 
     def trainer_factory(cfg, train_loader, val_loader, fold_tests):
-        # goes through OscarBatchLoader.__iter__, so the 2054-d assembly
-        # is reflected in the init example
+        # host mode: example_batch goes through OscarBatchLoader.__iter__,
+        # so the 2054-d assembly is reflected in the init example. Index
+        # mode: the example is the raw (2048-d, 7-d geometry) pair and the
+        # MODEL's in-graph assembly branch fires — both init to identical
+        # param shapes (the img projection is (img_feature_dim, H) either
+        # way)
         example = val_loader.example_batch()
         params = model.init(jax.random.PRNGKey(cfg.seed), example,
                             deterministic=True)["params"]
