@@ -138,6 +138,12 @@ class FoldParallelTrainer:
         assert all(bool(getattr(l, "index_batches", False)) == self._gather
                    for l in train_loaders + val_loaders), (
             "mix of index-mode and host-batch fold loaders")
+        # staged-upload cache: repeated predict_folds calls on the same
+        # loaders (per-epoch eval, end-of-training exports) must not re-dedup
+        # and re-push an already-resident corpus through the host link.
+        # Entries hold the dataset objects too, so the id()-based keys can't
+        # be recycled by the allocator while cached.
+        self._data_cache: dict = {}
         self._train_data = (self._stack_fold_data(train_loaders)
                             if self._gather else None)
         self._val_data = (self._stack_fold_data(val_loaders)
@@ -180,6 +186,10 @@ class FoldParallelTrainer:
         Disjoint fold datasets (val dev-splits) degenerate to concatenation
         at zero overhead."""
         datasets = [l.dataset for l in loaders]
+        key = ("stack",) + tuple(map(id, datasets))
+        cached = self._data_cache.get(key)
+        if cached is not None:
+            return cached[1]
         n_max = max(len(d) for d in datasets)
         global_row: dict = {}
         new_rows_per_fold = []
@@ -207,6 +217,7 @@ class FoldParallelTrainer:
         else:
             shared = {k: jax.device_put(v) for k, v in shared.items()}
             trans = jax.device_put(trans)
+        self._data_cache[key] = (datasets, (shared, trans))
         return shared, trans
 
     def _build_steps(self):
@@ -650,9 +661,14 @@ class FoldParallelTrainer:
         # identity translation: fold_eval uniformly unpacks (arrays, table)
         shared_data = None
         if self._gather:
-            arrays = jax.device_put(loader.dataset.device_arrays())
-            ident = jnp.arange(len(loader.dataset), dtype=jnp.int32)
-            shared_data = (arrays, ident)
+            key = ("shared", id(loader.dataset))
+            cached = self._data_cache.get(key)
+            if cached is None:
+                arrays = jax.device_put(loader.dataset.device_arrays())
+                ident = jnp.arange(len(loader.dataset), dtype=jnp.int32)
+                cached = ([loader.dataset], (arrays, ident))
+                self._data_cache[key] = cached
+            shared_data = cached[1]
         try:
             probs_chunks, ids_chunks = [], []
             for batch in loader:

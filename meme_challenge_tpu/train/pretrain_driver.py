@@ -267,7 +267,10 @@ class PretrainTrainer:
             if not pending:
                 return
             task = pending_task
-            if len(pending) == K:
+            # chunk only when chunking is on (K>1): at K=1 the scan-wrapped
+            # multi-step program would shadow-compile the plain step for no
+            # RTT win (Trainer/FoldParallelTrainer guard the same way)
+            if K > 1 and len(pending) == K:
                 chunk = stack_chunk(pending)
                 self.state, losses = self._get_task_multi_step(task)(
                     self.state, chunk, self.root_rng, self.data)

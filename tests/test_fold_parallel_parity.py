@@ -283,3 +283,53 @@ def test_fold_parallel_device_resident_matches_host_batches(setup):
             h_metrics[f]["aucroc"], abs=1e-6)
         np.testing.assert_array_equal(h_ids[f], d_ids[f])
         np.testing.assert_allclose(d_probs[f], h_probs[f], atol=2e-6)
+
+
+def test_predict_folds_caches_device_uploads(setup):
+    """Repeated predict_folds / eval on the same loaders must not re-dedup
+    and re-upload an already-resident corpus: per-epoch eval and the
+    end-of-training 4-test-set export would otherwise push the same HBM
+    corpus through the host link every call (15-fold HM scale: ~4 GB each).
+    Pins the staged-upload cache keyed by dataset identity."""
+    model, cfg, loaders = setup
+    F = 2
+
+    set_seed(cfg.seed)
+    train_l, val_l = loaders()
+    train_l.index_batches = True
+    val_l.index_batches = True
+    params = _init_params(model, cfg, BatchLoader(val_l.dataset, 8))
+    stacked = jax.tree.map(lambda x: np.stack([np.asarray(x)] * F), params)
+    par = FoldParallelTrainer(cfg.replace(max_epoch=1), model, stacked,
+                              [train_l] * F, [val_l] * F)
+    par.train_main()
+
+    calls = {"n": 0}
+    ds = val_l.dataset
+    orig = type(ds).device_arrays
+
+    def counting(self):
+        calls["n"] += 1
+        return orig(self)
+
+    type(ds).device_arrays = counting
+    try:
+        # shared-loader broadcast path: one upload, then cache hits
+        p1, i1 = par.predict_folds([val_l] * F)
+        assert calls["n"] == 1
+        p2, i2 = par.predict_folds([val_l] * F)
+        assert calls["n"] == 1, "second export must reuse the cached upload"
+        # distinct loader objects over the SAME dataset → stacked path,
+        # one more upload set, then cached
+        l_a, l_b = BatchLoader(ds, 8), BatchLoader(ds, 8)
+        l_a.index_batches = l_b.index_batches = True
+        par.predict_folds([l_a, l_b])
+        n_after_stacked = calls["n"]
+        par.predict_folds([l_a, l_b])
+        assert calls["n"] == n_after_stacked, (
+            "repeated stacked export must reuse the cached upload")
+    finally:
+        type(ds).device_arrays = orig
+    for f in range(F):
+        np.testing.assert_array_equal(i1[f], i2[f])
+        np.testing.assert_allclose(p1[f], p2[f], atol=0)
