@@ -67,6 +67,54 @@ def _t(w: np.ndarray) -> np.ndarray:
     return np.ascontiguousarray(w.T)
 
 
+def bert_stacked_encoder_from_torch(
+    sd: Mapping[str, np.ndarray],
+    num_layers: int,
+    prefix: str = "",
+) -> Params:
+    """Per-layer torch BERT encoder weights → stacked ``[L, ...]`` tree.
+
+    All BERT-layout checkpoints (UNITER trunk — reference model/layer.py,
+    HF bert/roberta/electra, Oscar's BertImgModel — reference
+    model/oscar.py:145-165) share the ``{prefix}encoder.layer.{i}.*`` key
+    format; this maps them onto the StackedEncoder layout with the QKV
+    kernels pre-concatenated into one ``[L, H, 3H]`` parameter.
+    """
+    def stack(fmt, transpose=False):
+        mats = [np.asarray(sd[prefix + fmt.format(i)], dtype=np.float32)
+                for i in range(num_layers)]
+        if transpose:
+            mats = [m.T for m in mats]
+        return np.ascontiguousarray(np.stack(mats, axis=0))
+
+    return {
+        "qkv_kernel": np.ascontiguousarray(np.concatenate([
+            stack("encoder.layer.{}.attention.self.query.weight", True),
+            stack("encoder.layer.{}.attention.self.key.weight", True),
+            stack("encoder.layer.{}.attention.self.value.weight", True),
+        ], axis=-1)),
+        "qkv_bias": np.ascontiguousarray(np.concatenate([
+            stack("encoder.layer.{}.attention.self.query.bias"),
+            stack("encoder.layer.{}.attention.self.key.bias"),
+            stack("encoder.layer.{}.attention.self.value.bias"),
+        ], axis=-1)),
+        "attn_out_kernel": stack(
+            "encoder.layer.{}.attention.output.dense.weight", True),
+        "attn_out_bias": stack("encoder.layer.{}.attention.output.dense.bias"),
+        "attn_ln_scale": stack(
+            "encoder.layer.{}.attention.output.LayerNorm.weight"),
+        "attn_ln_bias": stack(
+            "encoder.layer.{}.attention.output.LayerNorm.bias"),
+        "ffn_in_kernel": stack(
+            "encoder.layer.{}.intermediate.dense.weight", True),
+        "ffn_in_bias": stack("encoder.layer.{}.intermediate.dense.bias"),
+        "ffn_out_kernel": stack("encoder.layer.{}.output.dense.weight", True),
+        "ffn_out_bias": stack("encoder.layer.{}.output.dense.bias"),
+        "ffn_ln_scale": stack("encoder.layer.{}.output.LayerNorm.weight"),
+        "ffn_ln_bias": stack("encoder.layer.{}.output.LayerNorm.bias"),
+    }
+
+
 def uniter_trunk_params_from_torch(
     sd: Mapping[str, np.ndarray],
     config: UniterConfig,
@@ -105,39 +153,9 @@ def uniter_trunk_params_from_torch(
         img_embeddings["mask_embedding"] = np.zeros(
             (2, config.img_dim), dtype=np.float32)
 
-    def stack(fmt, transpose=False):
-        mats = [np.asarray(sd[prefix + fmt.format(i)], dtype=np.float32)
-                for i in range(L)]
-        if transpose:
-            mats = [m.T for m in mats]
-        return np.ascontiguousarray(np.stack(mats, axis=0))
-
-    encoder = {
-        # [q|k|v] concatenated on the output axis (StackedEncoder stores QKV
-        # as one [L, H, 3H] kernel; the torch layout stays per-matrix)
-        "qkv_kernel": np.ascontiguousarray(np.concatenate([
-            stack("encoder.layer.{}.attention.self.query.weight", True),
-            stack("encoder.layer.{}.attention.self.key.weight", True),
-            stack("encoder.layer.{}.attention.self.value.weight", True),
-        ], axis=-1)),
-        "qkv_bias": np.ascontiguousarray(np.concatenate([
-            stack("encoder.layer.{}.attention.self.query.bias"),
-            stack("encoder.layer.{}.attention.self.key.bias"),
-            stack("encoder.layer.{}.attention.self.value.bias"),
-        ], axis=-1)),
-        "attn_out_kernel": stack(
-            "encoder.layer.{}.attention.output.dense.weight", True),
-        "attn_out_bias": stack("encoder.layer.{}.attention.output.dense.bias"),
-        "attn_ln_scale": stack(
-            "encoder.layer.{}.attention.output.LayerNorm.weight"),
-        "attn_ln_bias": stack("encoder.layer.{}.attention.output.LayerNorm.bias"),
-        "ffn_in_kernel": stack("encoder.layer.{}.intermediate.dense.weight", True),
-        "ffn_in_bias": stack("encoder.layer.{}.intermediate.dense.bias"),
-        "ffn_out_kernel": stack("encoder.layer.{}.output.dense.weight", True),
-        "ffn_out_bias": stack("encoder.layer.{}.output.dense.bias"),
-        "ffn_ln_scale": stack("encoder.layer.{}.output.LayerNorm.weight"),
-        "ffn_ln_bias": stack("encoder.layer.{}.output.LayerNorm.bias"),
-    }
+    # [q|k|v] concatenated on the output axis (StackedEncoder stores QKV
+    # as one [L, H, 3H] kernel; the torch layout stays per-matrix)
+    encoder = bert_stacked_encoder_from_torch(sd, L, prefix=prefix)
     pooler = {
         "dense": {
             "kernel": _t(g("pooler.dense.weight")),
@@ -232,6 +250,58 @@ def pretrain_params_from_torch(
             "kernel": _t(g("itm_output.weight")),
             "bias": g("itm_output.bias"),
         }
+    return params
+
+
+def oscar_params_from_torch(
+    sd: Mapping[str, np.ndarray],
+    config: UniterConfig,
+) -> Params:
+    """Reference Oscar checkpoint → flax ImageBertForSequenceClassification.
+
+    Maps the state_dict layout of the reference's
+    ``ImageBertForSequenceClassification`` (model/oscar.py:284-328 wrapping
+    ``BertImgModel`` :145-273): HF-BERT embeddings/encoder/pooler under
+    ``bert.``, the 2054→H ``bert.img_embedding`` linear, the optional
+    image LayerNorm (``bert.LayerNorm``, present only with
+    ``use_img_layernorm``), and the classifier head — ``classifier.*`` for
+    the linear head or ``classifier.{0,2}.*`` for the MLP ``nn.Sequential``.
+    Head shape and the image-LayerNorm are inferred from the keys present.
+    """
+    sd = rename_reference_keys(sd, strip_prefixes=())
+
+    def g(k):
+        return np.asarray(sd[k], dtype=np.float32)
+
+    bert: Params = {
+        "embeddings": {
+            "word_embeddings": g("bert.embeddings.word_embeddings.weight"),
+            "position_embeddings": g(
+                "bert.embeddings.position_embeddings.weight"),
+            "token_type_embeddings": g(
+                "bert.embeddings.token_type_embeddings.weight"),
+            "ln_scale": g("bert.embeddings.LayerNorm.weight"),
+            "ln_bias": g("bert.embeddings.LayerNorm.bias"),
+        },
+        "img_embedding_kernel": _t(g("bert.img_embedding.weight")),
+        "img_embedding_bias": g("bert.img_embedding.bias"),
+        "encoder": bert_stacked_encoder_from_torch(
+            sd, config.num_hidden_layers, prefix="bert."),
+        "pooler": {"dense": {"kernel": _t(g("bert.pooler.dense.weight")),
+                             "bias": g("bert.pooler.dense.bias")}},
+    }
+    if "bert.LayerNorm.weight" in sd:  # use_img_layernorm checkpoints
+        bert["img_ln_scale"] = g("bert.LayerNorm.weight")
+        bert["img_ln_bias"] = g("bert.LayerNorm.bias")
+    params: Params = {"bert": bert}
+    if "classifier.weight" in sd:      # linear head
+        params["cls_out"] = {"kernel": _t(g("classifier.weight")),
+                             "bias": g("classifier.bias")}
+    elif "classifier.0.weight" in sd:  # mlp head (Linear, ReLU, Linear)
+        params["cls_hidden"] = {"kernel": _t(g("classifier.0.weight")),
+                                "bias": g("classifier.0.bias")}
+        params["cls_out"] = {"kernel": _t(g("classifier.2.weight")),
+                             "bias": g("classifier.2.bias")}
     return params
 
 
@@ -346,43 +416,8 @@ def hf_text_backbone_params(
             "ffn_ln_bias": stack1("full_layer_layer_norm.bias"),
         }
     else:
-        L = config.num_hidden_layers
-
-        def stack(fmt, transpose=False):
-            mats = [np.asarray(sd[fmt.format(i)], dtype=np.float32)
-                    for i in range(L)]
-            if transpose:
-                mats = [m.T for m in mats]
-            return np.ascontiguousarray(np.stack(mats, axis=0))
-
-        out["encoder"] = {
-            "qkv_kernel": np.ascontiguousarray(np.concatenate([
-                stack("encoder.layer.{}.attention.self.query.weight", True),
-                stack("encoder.layer.{}.attention.self.key.weight", True),
-                stack("encoder.layer.{}.attention.self.value.weight", True),
-            ], axis=-1)),
-            "qkv_bias": np.ascontiguousarray(np.concatenate([
-                stack("encoder.layer.{}.attention.self.query.bias"),
-                stack("encoder.layer.{}.attention.self.key.bias"),
-                stack("encoder.layer.{}.attention.self.value.bias"),
-            ], axis=-1)),
-            "attn_out_kernel": stack(
-                "encoder.layer.{}.attention.output.dense.weight", True),
-            "attn_out_bias": stack(
-                "encoder.layer.{}.attention.output.dense.bias"),
-            "attn_ln_scale": stack(
-                "encoder.layer.{}.attention.output.LayerNorm.weight"),
-            "attn_ln_bias": stack(
-                "encoder.layer.{}.attention.output.LayerNorm.bias"),
-            "ffn_in_kernel": stack(
-                "encoder.layer.{}.intermediate.dense.weight", True),
-            "ffn_in_bias": stack("encoder.layer.{}.intermediate.dense.bias"),
-            "ffn_out_kernel": stack("encoder.layer.{}.output.dense.weight",
-                                    True),
-            "ffn_out_bias": stack("encoder.layer.{}.output.dense.bias"),
-            "ffn_ln_scale": stack("encoder.layer.{}.output.LayerNorm.weight"),
-            "ffn_ln_bias": stack("encoder.layer.{}.output.LayerNorm.bias"),
-        }
+        out["encoder"] = bert_stacked_encoder_from_torch(
+            sd, config.num_hidden_layers)
 
     if "pooler.dense.weight" in sd:
         out["pooler"] = {"dense": {"kernel": _t(g("pooler.dense.weight")),

@@ -40,6 +40,9 @@ class OscarModel(nn.Module):
     config: UniterConfig
     img_feature_dim: int = IMG_DIM_OSCAR
     use_img_layernorm: bool = False
+    # the reference gives the image LayerNorm its own eps
+    # (config.img_layer_norm_eps, oscar.py:177); None → config.layer_norm_eps
+    img_layer_norm_eps: Optional[float] = None
 
     def setup(self):
         cfg = self.config
@@ -76,9 +79,11 @@ class OscarModel(nn.Module):
             img_emb = (img_feat.astype(jnp.float32)
                        @ self.img_embedding_kernel + self.img_embedding_bias)
             if self.use_img_layernorm:
+                eps = (self.img_layer_norm_eps
+                       if self.img_layer_norm_eps is not None
+                       else cfg.layer_norm_eps)
                 img_emb = _layer_norm(img_emb, self.img_ln_scale,
-                                      self.img_ln_bias, cfg.layer_norm_eps,
-                                      jnp.float32)
+                                      self.img_ln_bias, eps, jnp.float32)
             img_emb = self.img_dropout(img_emb, deterministic=deterministic)
             emb = jnp.concatenate([emb.astype(jnp.float32), img_emb], axis=1)
             joint_mask = jnp.concatenate([txt_mask, img_mask], axis=1)
@@ -99,11 +104,13 @@ class ImageBertForSequenceClassification(nn.Module):
     cls_hidden_scale: int = 2
     img_feature_dim: int = IMG_DIM_OSCAR
     use_img_layernorm: bool = False
+    img_layer_norm_eps: Optional[float] = None
 
     def setup(self):
         cfg = self.config
         self.bert = OscarModel(cfg, self.img_feature_dim,
-                               self.use_img_layernorm)
+                               self.use_img_layernorm,
+                               self.img_layer_norm_eps)
         self.head_dropout = nn.Dropout(cfg.hidden_dropout_prob)
         ini = _init(cfg.initializer_range)
         if self.classifier == "mlp":
