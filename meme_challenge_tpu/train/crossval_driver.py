@@ -41,6 +41,7 @@ def train_crossval(
     use_dev_set: bool = False,
     run_ensemble: bool = True,
     ea_generations: int = 100,
+    run_ea: bool = True,
 ):
     """Run single-split or per-fold training.
 
@@ -149,5 +150,5 @@ def train_crossval(
                 if dev_files:
                     results["ensemble"] = find_ensemble(
                         dev_files=dev_files, test_files=test_files,
-                        ea_generations=ea_generations)
+                        run_ea=run_ea, ea_generations=ea_generations)
     return results

@@ -51,9 +51,9 @@ def _stub_module(name):
     return m
 
 
-@pytest.fixture(scope="module")
-def ref():
-    """Import the reference TRAINING machinery with apex stubbed."""
+def _import_reference():
+    """Import the reference TRAINING machinery with apex stubbed (plain
+    function so sibling oracle suites — test_crossval_oracle — can reuse)."""
     if "apex" not in sys.modules:
         apex = _stub_module("apex")
         norm = _stub_module("apex.normalization")
@@ -82,6 +82,11 @@ def ref():
     return types.SimpleNamespace(
         train_template=ref_train_template, model=ref_model, meme=ref_meme,
         get_optimizer=ref_get_optimizer)
+
+
+@pytest.fixture(scope="module")
+def ref():
+    return _import_reference()
 
 
 # ------------------------------------------------------- optimizer unit oracle
