@@ -49,6 +49,7 @@ def train_crossval_fold_parallel(
     mesh=None,
     run_ensemble: bool = True,
     ea_generations: int = 100,
+    run_ea: bool = True,
     resume_path: Optional[str] = None,
 ):
     """Train all crossval folds simultaneously on the mesh.
@@ -204,6 +205,6 @@ def train_crossval_fold_parallel(
         if dev_files:
             results["ensemble"] = find_ensemble(
                 dev_files=dev_files, test_files=test_files,
-                ea_generations=ea_generations)
+                run_ea=run_ea, ea_generations=ea_generations)
     results["trainer"] = trainer
     return results

@@ -26,6 +26,9 @@ from meme_challenge_tpu.core.config import TrainConfig
 from meme_challenge_tpu.core.metrics import aucroc
 from meme_challenge_tpu.models.convert import meme_uniter_params_from_torch
 from meme_challenge_tpu.models.uniter import MemeUniter
+from meme_challenge_tpu.parallel.crossval_parallel import (
+    train_crossval_fold_parallel,
+)
 from meme_challenge_tpu.train.crossval_driver import train_crossval
 from meme_challenge_tpu.train.trainer import Trainer
 
@@ -246,6 +249,56 @@ def _run_our_crossval(tmp_path, init_sd):
     return model_path, data_path, results
 
 
+class _ParLoader(tto._OurLoader):
+    """Host-batch loader satisfying the fold-parallel driver's extra
+    surface: ``example_batch()`` and ``dataset.ids``."""
+
+    def __init__(self, batches, name):
+        super().__init__(batches, name)
+        self.dataset.ids = np.concatenate([b["ids"] for b in batches])
+
+    def example_batch(self):
+        b = dict(next(iter(self)))
+        b.pop("ids", None)
+        return b
+
+
+def _run_our_fold_parallel(tmp_path, init_sd):
+    """The flagship fold-parallel crossval driver, all folds at once, same
+    initial weights as the reference's sequential per-fold loop."""
+    data_path = _make_data_path(tmp_path, "par_data")
+    model_path = str(tmp_path / "par_models")
+    os.makedirs(model_path, exist_ok=True)
+
+    def loader_func(path):
+        return _ParLoader(_batches_from_jsonl(path), _name_from_path(path))
+
+    test_jsonl = os.path.join(data_path, "test_seen.jsonl")
+    _write_jsonl(test_jsonl, TEST_SEEN_IDS)
+    test_loaders = [
+        _ParLoader(_batches_from_jsonl(
+            os.path.join(data_path, "dev_seen.jsonl")), "dev_seen"),
+        _ParLoader(_batches_from_jsonl(test_jsonl), "test_seen"),
+    ]
+    model = MemeUniter(SMALL, n_classes=1)
+
+    def init_params_fn(seed, example):
+        # every fold starts from the shared twin weights (the per-fold
+        # reseed only affects data order here — dropout is 0)
+        return meme_uniter_params_from_torch(init_sd, SMALL)
+
+    cfg = TrainConfig(
+        model_path=model_path, model_save_name="twin.ckpt",
+        data_path=data_path, seed=43, max_grad_norm=5.0,
+        adam_mu_dtype="float32", adam_nu_dtype="float32", **TRAIN_KW)
+    results = train_crossval_fold_parallel(
+        cfg, model, init_params_fn,
+        {"train": loader_func, "val": loader_func, "test": loader_func},
+        test_loaders=test_loaders, num_folds=-1, dev_size=DEV_SIZE,
+        use_dev_set=False, run_ea=False)
+    return model_path, data_path, results
+
+
 @pytest.fixture(scope="module")
 def twin(ref, tmp_path_factory):
     tmp_path = tmp_path_factory.mktemp("crossval_twin")
@@ -253,7 +306,16 @@ def twin(ref, tmp_path_factory):
     ref_models, ref_data = _run_reference_crossval(ref, tmp_path, init_sd)
     our_models, our_data, results = _run_our_crossval(tmp_path, init_sd)
     return dict(ref_models=ref_models, ref_data=ref_data,
-                our_models=our_models, our_data=our_data, results=results)
+                our_models=our_models, our_data=our_data, results=results,
+                init_sd=init_sd, tmp_path=tmp_path)
+
+
+@pytest.fixture(scope="module")
+def twin_par(twin):
+    """Fold-parallel side, twinned against the SAME reference artifacts."""
+    par_models, par_data, results = _run_our_fold_parallel(
+        twin["tmp_path"], twin["init_sd"])
+    return dict(par_models=par_models, par_data=par_data, results=results)
 
 
 # ---------------------------------------------------------------- assertions
@@ -349,3 +411,68 @@ def test_ensemble_outputs_match(twin):
     assert our_auc == pytest.approx(ref_auc, abs=5e-2)
     ours = twin["results"]["ensemble"]
     assert ours["score"] == pytest.approx(our_auc, abs=1e-6)
+
+
+# ------------------------------------------------- fold-parallel twin (r3)
+
+
+def test_fold_parallel_csvs_match_reference(twin, twin_par):
+    """The FLAGSHIP path: all folds trained simultaneously on the mesh must
+    reproduce the reference's sequential per-fold loop — per-fold exported
+    probabilities agree on every fold and test set."""
+    for fold in range(3):
+        for setname in ("dev_seen", "test_seen"):
+            ref_csv = os.path.join(
+                twin["ref_models"],
+                "twin_fold_%d_%s_preds.csv" % (fold, setname))
+            par_csv = os.path.join(
+                twin_par["par_models"],
+                "twin_fold_%d_%s_preds.csv" % (fold, setname))
+            with open(ref_csv) as f:
+                ref_ids, ref_probs = tto._csv_probs(f.read())
+            with open(par_csv) as f:
+                par_ids, par_probs = tto._csv_probs(f.read())
+            np.testing.assert_array_equal(ref_ids, par_ids)
+            np.testing.assert_allclose(
+                par_probs, ref_probs, atol=5e-3,
+                err_msg="fold-parallel fold %d %s" % (fold, setname))
+
+
+def test_fold_parallel_artifacts_and_metrics(twin, twin_par):
+    """Per-fold ckpts, metrics JSONs and ensemble CSVs come out under the
+    sequential naming contract, and per-fold val metrics are sane."""
+    names = set(os.listdir(twin_par["par_models"]))
+    for fold in range(3):
+        assert "twin_fold_%d.ckpt" % fold in names
+        assert "twin_fold_%d_metrics.json" % fold in names
+        assert "twin_fold_%d_dev_seen_preds.csv" % fold in names
+        assert "twin_fold_%d_test_seen_preds.csv" % fold in names
+    assert "twin_dev_seen_ensemble.csv" in names
+    assert "twin_test_seen_ensemble.csv" in names
+    res = twin_par["results"]
+    assert len(res["val_metrics"]) == 3
+    # fold-parallel mean-of-folds tracks the sequential driver's
+    seq_mean = twin["results"]["mean_scores"]["aucroc"]
+    assert res["mean_scores"]["aucroc"] == pytest.approx(seq_mean, abs=5e-2)
+
+
+def test_fold_parallel_ensemble_matches(twin, twin_par):
+    """Ensemble search over the fold-parallel CSVs lands on the same dev
+    mixture quality as over the reference's CSVs."""
+    def ens_probs(models_dir):
+        path = os.path.join(models_dir, "twin_dev_seen_ensemble.csv")
+        rows = [r.split(",") for r in
+                open(path).read().strip().splitlines()[1:]]
+        ids = np.array([int(r[0]) for r in rows])
+        order = np.argsort(ids)
+        return ids[order], np.array([float(r[1]) for r in rows])[order]
+
+    ref_ids, ref_probs = ens_probs(twin["ref_models"])
+    par_ids, par_probs = ens_probs(twin_par["par_models"])
+    np.testing.assert_array_equal(ref_ids, par_ids)
+    with open(os.path.join(twin["ref_data"], "dev_seen.jsonl")) as f:
+        gt = {json.loads(l)["id"]: json.loads(l)["label"]
+              for l in f if l.strip()}
+    labels = np.array([gt[i] for i in ref_ids])
+    assert aucroc(par_probs, labels) == pytest.approx(
+        aucroc(ref_probs, labels), abs=5e-2)
