@@ -72,6 +72,14 @@ def mask_tokens_bert(
     Reproduces the reference's RNG pattern: one uniform draw per token,
     renormalized (``prob /= mask_prob``) to choose the 80/10/10 branch.
     Padding/CLS/SEP positions get label −1.
+
+    One deliberate semantic fix (documented quirk, not replicated): the
+    reference's at-least-one-mask fallback stores ``tokens[1]`` — a live
+    0-dim tensor VIEW — into the label list before overwriting
+    ``tokens[1] = mask`` (pretrain_mlm.py:65-68), so its fallback label
+    mutates into the MASK id and teaches the model to predict [MASK].
+    We keep the ORIGINAL token as the target. Draw-for-draw RNG parity
+    with the executed reference is pinned in tests/test_rng_oracle.py.
     """
     tokens = token_ids.copy()
     labels = np.full_like(tokens, -1)

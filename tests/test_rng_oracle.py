@@ -1,0 +1,232 @@
+"""Host-RNG draw-for-draw parity vs the EXECUTED reference data stack.
+
+SURVEY.md §7 hard-part 2 requires every stochastic HOST decision to follow
+the reference's exact RNG call sequence so that seeded runs reproduce the
+reference's sample orders bit-for-bit. Crossval splits already have a
+bit-identity oracle (test_data); this file closes the remaining host-RNG
+surfaces by executing the reference's own classes on the same seeded
+global ``random`` stream:
+
+- ``ConfounderSampler`` (reference data/meme_dataset.py:221-271): the
+  upsampled epoch order must be IDENTICAL for construction + two epochs.
+- ``MLM_MemeDataset.get_masked_txt`` (reference data/pretrain_mlm.py:35-69):
+  masked tokens and −1-padded labels must match token-for-token, including
+  the renormalized 80/10/10 branch draws and the at-least-one-mask fallback.
+- ``MetaLoader`` (reference data/pretrain_meme_dataset.py:21-58): the
+  task-sampling sequence (held fixed across accum groups, ratio-weighted
+  pools) must be identical draw-for-draw.
+
+ITM text replacement is deliberately NOT draw-compatible: the reference
+rebuilds an (n−1)-element candidate list per rejection round
+(data/pretrain_itm.py:34-38, O(n) per draw) while ours uses an O(1)
+uniform-over-≠idx scheme with a different draw count (data/pretrain.py) —
+distributional equivalence is covered in test_pretrain instead.
+"""
+import random
+import types
+
+import numpy as np
+import pytest
+import torch
+
+from meme_challenge_tpu.data.meme_dataset import ConfounderSampler
+from meme_challenge_tpu.data.pretrain import MetaLoader, mask_tokens_bert
+
+from test_trainer_oracle import _import_reference
+
+
+@pytest.fixture(scope="module")
+def refdata():
+    _import_reference()  # apex stub + /root/reference on sys.path
+    import data.meme_dataset as ref_md
+    import data.pretrain_mlm as ref_mlm
+    import data.pretrain_meme_dataset as ref_pmd
+    # torch-1.6 compat shim: the reference calls Sampler.__init__(dataset)
+    # (data/meme_dataset.py:224); modern torch removed that signature
+    if torch.utils.data.Sampler.__init__ is object.__init__:
+        torch.utils.data.Sampler.__init__ = \
+            lambda self, data_source=None: None
+    return types.SimpleNamespace(md=ref_md, mlm=ref_mlm, pmd=ref_pmd)
+
+
+# ---------------------------------------------------------- ConfounderSampler
+
+
+class _RefDatasetStub:
+    """Just the surface the reference sampler touches: ``.data.text``,
+    ``.data.labels[idx].item()``, ``.name``, ``len()``."""
+
+    def __init__(self, texts, labels):
+        self.data = types.SimpleNamespace(
+            text=list(texts), labels=torch.tensor(labels))
+        self.name = "synth"
+
+    def __len__(self):
+        return len(self.data.text)
+
+
+class _OurDatasetStub:
+    def __init__(self, texts, labels):
+        self.texts = list(texts)
+        self.labels = np.asarray(labels)
+        self.name = "synth"
+
+    def __len__(self):
+        return len(self.texts)
+
+
+def _confounder_corpus(n=37, n_conf_texts=4, seed=7):
+    """Texts where a few strings appear under BOTH labels (the benign-text
+    confounders the sampler upsamples)."""
+    r = random.Random(seed)
+    texts, labels = [], []
+    for i in range(n_conf_texts):
+        for lab in (0, 1):
+            texts.append(f"confounder {i}")
+            labels.append(lab)
+    while len(texts) < n:
+        texts.append(f"plain {len(texts)}")
+        labels.append(r.randint(0, 1))
+    order = list(range(n))
+    r.shuffle(order)
+    return [texts[i] for i in order], [labels[i] for i in order]
+
+
+@pytest.mark.parametrize("repeat_factor", [1, 3])
+def test_confounder_sampler_order_matches_reference(refdata, repeat_factor):
+    texts, labels = _confounder_corpus()
+
+    random.seed(91)
+    ref_sampler = refdata.md.ConfounderSampler(
+        _RefDatasetStub(texts, labels), repeat_factor=repeat_factor)
+    ref_epochs = [list(iter(ref_sampler)) for _ in range(2)]
+
+    random.seed(91)
+    our_sampler = ConfounderSampler(
+        _OurDatasetStub(texts, labels), repeat_factor=repeat_factor)
+    our_epochs = [list(iter(our_sampler)) for _ in range(2)]
+
+    assert sorted(our_sampler.confounders) == sorted(ref_sampler.confounders)
+    assert our_epochs == ref_epochs  # draw-for-draw identical epoch orders
+    # upsampling really happened: each confounder index appears repeat_factor
+    # times per epoch
+    for idx in ref_sampler.confounders:
+        assert our_epochs[0].count(idx) == repeat_factor
+
+
+# ----------------------------------------------------------------- MLM masking
+
+
+CLS, SEP, PAD, MASK = 101, 102, 0, 103
+VOCAB_RANGE = (106, 211)
+
+
+def _ref_mlm_instance(refdata, mask_prob):
+    ds = object.__new__(refdata.mlm.MLM_MemeDataset)
+    ds.mask_prob = mask_prob
+    ds.cls_token = CLS
+    ds.sep_token = SEP
+    ds.pad_token = PAD
+    return ds
+
+
+def _random_sequence(r, length, pad_tail):
+    body = [CLS] + [r.randrange(*VOCAB_RANGE)
+                    for _ in range(length - 2 - pad_tail)] + [SEP]
+    return body + [PAD] * pad_tail
+
+
+@pytest.mark.parametrize("mask_prob", [0.15, 0.005])
+def test_mlm_masking_matches_reference(refdata, mask_prob):
+    """Token-for-token parity of the 80/10/10 stream. mask_prob=0.005 forces
+    the at-least-one-mask fallback path on most sequences."""
+    gen = random.Random(5)
+    seqs = [_random_sequence(gen, 14, pad_tail=gen.randrange(0, 4))
+            for _ in range(48)]
+
+    ref_ds = _ref_mlm_instance(refdata, mask_prob)
+    random.seed(20260819)
+    ref_out = []
+    for s in seqs:
+        toks = torch.tensor(s).clone()
+        toks, labels = ref_ds.get_masked_txt(toks, VOCAB_RANGE, MASK)
+        # labels may hold 0-dim tensor views (the fallback path) — int() them
+        ref_out.append((toks.tolist(), [int(l) for l in labels]))
+
+    rng = random.Random(20260819)
+    n_fallbacks = 0
+    for s, (ref_toks, ref_labels) in zip(seqs, ref_out):
+        ids = np.asarray(s, dtype=np.int64)
+        toks, labels = mask_tokens_bert(
+            ids, np.ones_like(ids), rng, mask_prob, MASK, VOCAB_RANGE,
+            special_ids=(CLS, SEP, PAD))
+        assert toks.tolist() == ref_toks
+        ours = labels.tolist()
+        if ref_labels[1] == MASK and ours[1] == s[1] and toks[1] == MASK \
+                and all(l == -1 for i, l in enumerate(ref_labels) if i != 1):
+            # documented reference BUG, not an RNG divergence (SURVEY-class
+            # quirk): the at-least-one-mask fallback stores ``tokens[1]`` —
+            # a live 0-dim tensor VIEW — into output_label BEFORE writing
+            # ``tokens[1] = mask`` (data/pretrain_mlm.py:65-68), so the
+            # reference's fallback label mutates into the MASK id itself
+            # and the model is taught to predict [MASK]. Ours keeps the
+            # original token as the target; every other position and every
+            # RNG draw must still agree exactly.
+            n_fallbacks += 1
+            assert all(o == -1 for i, o in enumerate(ours) if i != 1)
+        else:
+            assert ours == ref_labels
+
+    # the fallback really fired somewhere at the tiny rate
+    if mask_prob == 0.005:
+        assert n_fallbacks > 0
+
+
+# ------------------------------------------------------------------ MetaLoader
+
+
+class _OurListLoader:
+    def __init__(self, items):
+        self.items = list(items)
+
+    def __len__(self):
+        return len(self.items)
+
+    def __iter__(self):
+        return iter(self.items)
+
+
+def _ref_loaders():
+    def dl(n, base):
+        return torch.utils.data.DataLoader(
+            torch.utils.data.TensorDataset(torch.arange(base, base + n)),
+            batch_size=1, shuffle=False)
+    return {"mlm": (dl(3, 0), 2), "itm": dl(2, 10), "mrfr": (dl(4, 20), 3)}
+
+
+@pytest.mark.parametrize("accum", [1, 2, 3])
+def test_meta_loader_sequence_matches_reference(refdata, accum):
+    n_steps = 60
+
+    random.seed(4243)
+    ref_ml = refdata.pmd.MetaLoader(_ref_loaders(), accum_steps=accum)
+    ref_it = iter(ref_ml)
+    ref_seq = [next(ref_it) for _ in range(n_steps)]
+    ref_tasks = [t for t, _ in ref_seq]
+
+    ours = {"mlm": (_OurListLoader([0, 1, 2]), 2),
+            "itm": _OurListLoader([10, 11]),
+            "mrfr": (_OurListLoader([20, 21, 22, 23]), 3)}
+    random.seed(4243)
+    our_ml = MetaLoader(ours, accum_steps=accum)
+    our_it = iter(our_ml)
+    our_seq = [next(our_it) for _ in range(n_steps)]
+
+    assert [t for t, _ in our_seq] == ref_tasks
+    # task held fixed within each accum group (reference semantics)
+    for g in range(0, n_steps - accum, accum):
+        assert len({t for t, _ in our_seq[g:g + accum]}) == 1
+    # batches cycle through each loader in order on both sides
+    assert [int(b) for _, b in our_seq] == \
+        [int(b[0].item()) for _, b in ref_seq]
+    assert len(our_ml) == len(ref_ml)
