@@ -230,3 +230,57 @@ def test_meta_loader_sequence_matches_reference(refdata, accum):
     assert [int(b) for _, b in our_seq] == \
         [int(b[0].item()) for _, b in ref_seq]
     assert len(our_ml) == len(ref_ml)
+
+
+# ------------------------------------------------- 7-d bbox position encoding
+
+
+@pytest.mark.parametrize("conf_key", ["objects_conf", "cls_prob"])
+@pytest.mark.parametrize("bbox_dtype", [np.float32, np.float64])
+def test_load_img_feature_matches_reference(refdata, tmp_path,
+                                            conf_key, bbox_dtype):
+    """Executed-reference oracle for the feature-file reader + 7-d bbox
+    normalization (reference data/dataset_template.py:92-114): same
+    ``{id}.npy`` / ``{id}_info.npy`` pair in, same (features, pos, objects,
+    conf) out — including the zfill(5) id expansion and the ``cls_prob``
+    max fallback when ``objects_conf`` is absent."""
+    from meme_challenge_tpu.data.meme_dataset import load_img_feature
+
+    rng = np.random.RandomState(3)
+    nbb, img_w, img_h = 9, 640, 480
+    feats = rng.rand(nbb, 32).astype(np.float32)
+    x1 = rng.uniform(0, img_w - 2, (nbb, 1))
+    y1 = rng.uniform(0, img_h - 2, (nbb, 1))
+    bbox = np.concatenate(
+        [x1, y1, x1 + rng.uniform(1, img_w - 1, (nbb, 1)),
+         y1 + rng.uniform(1, img_h - 1, (nbb, 1))], axis=1
+    ).clip(max=[[img_w, img_h, img_w, img_h]]).astype(bbox_dtype)
+    info = {"bbox": bbox, "image_width": img_w, "image_height": img_h,
+            "objects": rng.randint(0, 23, nbb)}
+    if conf_key == "objects_conf":
+        info["objects_conf"] = rng.rand(nbb).astype(np.float32)
+    else:
+        info["cls_prob"] = rng.rand(nbb, 23).astype(np.float32)
+    img_id = 77
+    np.save(tmp_path / "00077.npy", feats)
+    np.save(tmp_path / "00077_info.npy", np.asarray(info, dtype=object))
+
+    ref_tmpl = object.__new__(refdata.md.Dataset_Template)
+    ref_tmpl.feature_dir = str(tmp_path)
+    # the info dict is reloaded fresh on each call, so the reference's
+    # in-place `x1 /= img_width` cannot contaminate our read
+    r_feat, r_pos, r_obj, r_conf = ref_tmpl._load_img_feature(
+        img_id, normalize=True)
+    o_feat, o_pos, o_obj, o_conf = load_img_feature(
+        str(tmp_path), img_id, normalize=True)
+
+    np.testing.assert_array_equal(o_feat, r_feat.numpy())
+    # ours normalizes in float64 then stores float32; the reference keeps
+    # the stored dtype — exact at float64, a few float32 ulps otherwise
+    # (w = x2−x1 cancellation compounds into the w·h column)
+    tol = dict(rtol=0, atol=0) if bbox_dtype == np.float64 \
+        else dict(rtol=1e-5, atol=1e-7)
+    np.testing.assert_allclose(
+        o_pos, r_pos.numpy().astype(np.float32), **tol)
+    np.testing.assert_array_equal(o_obj, r_obj)
+    np.testing.assert_allclose(o_conf, r_conf, rtol=0, atol=0)
