@@ -97,6 +97,31 @@ def _device_backend_reachable(timeout_s: int = 150):
     return False, f"probe exited {r.returncode}: {tail}"
 
 
+# Backoff sleeps between reachability probes. Relay outages are
+# window-shaped and have been observed to outlast the old 3×150 s probe
+# loop (round 3 lost its entire capture to one). Worst case this schedule
+# spans ≈34.5 min of sleep + 8 × 150 s hung probes ≈ 54 min before the
+# bench gives up — the bench's whole plausible budget, per the r3 review.
+PROBE_BACKOFF_S = (30, 60, 120, 240, 420, 600, 600)
+
+
+def _probe_until_reachable(sleeps=PROBE_BACKOFF_S):
+    """Probe the relay with backoff until it answers or the schedule ends.
+
+    Returns ``(ok, detail, waited_s)``; ``waited_s`` is recorded in the
+    artifact so a capture that survived an outage says so."""
+    t0 = time.monotonic()
+    ok, detail = _device_backend_reachable()
+    if ok:
+        return True, "", 0.0
+    for s in sleeps:
+        time.sleep(s)
+        ok, detail = _device_backend_reachable()
+        if ok:
+            return True, "", time.monotonic() - t0
+    return False, detail, time.monotonic() - t0
+
+
 def _alarm(*_):
     raise _Timeout()
 
@@ -601,66 +626,107 @@ def bench_extraction():
     return out
 
 
+# (name, fn, budget_s, retries): UNITER-large gets a dedicated larger
+# budget — its 24-layer remote compile blew the default 420 s window in
+# one capture — plus one retry: the remote compile service caches by HLO
+# hash server-side, so a retry after a timed-out compile usually lands
+# on the warm entry. (JAX's persistent compilation cache is a no-op on
+# this backend: the axon PJRT client doesn't serialize executables.)
+EXTRA_TABLE = [
+    ("finetune_loop_memes_per_sec", bench_finetune_loop,
+     FINETUNE_LOOP_TIMEOUT_S, 1),  # gather-variant step = own compile
+    ("inference_ms_batch16", bench_inference_p50, EXTRA_TIMEOUT_S, 0),
+    ("text_only_bert_memes_per_sec", bench_text_only, EXTRA_TIMEOUT_S, 0),
+    ("pretrain_memes_per_sec_by_task", bench_pretrain,
+     PRETRAIN_TIMEOUT_S, 0),
+    ("uniter_large_memes_per_sec", bench_uniter_large, 600, 1),
+    ("extraction_sec_per_img", bench_extraction, EXTRA_TIMEOUT_S, 0),
+]
+
+
+def _run_extra(fn, budget, retries):
+    """Run one extra metric under its alarm budget; returns the rounded
+    value tree or an ``"error: ..."``/``"timeout"`` string."""
+    result = "error: not run"
+    for _ in range(retries + 1):
+        try:
+            return jax.tree.map(
+                lambda v: v if isinstance(v, str) else round(float(v), 3),
+                _with_timeout(fn, budget))
+        except Exception as e:  # noqa: BLE001 — report, don't sink the run
+            result = f"error: {type(e).__name__}: {e}"[:200]
+            if not isinstance(e, _Timeout):
+                break
+    return result
+
+
+def _bad(v):
+    """True when a recorded metric is an error/timeout marker (str leaves
+    inside a dict-valued metric count too, except deliberate skips)."""
+    if isinstance(v, dict):
+        return any(_bad(x) for x in v.values())
+    return isinstance(v, str) and not v.startswith("skipped")
+
+
+def _run_headline():
+    headline, err = 0.0, None
+    for _ in range(2):  # retry once: server-side compile cache warms
+        try:
+            headline = _with_timeout(bench_headline, 600)
+            err = None
+            break
+        except Exception as e:  # noqa: BLE001 — report, don't sink the run
+            err = f"error: {type(e).__name__}: {e}"[:200]
+            if not isinstance(e, _Timeout):
+                break
+    return headline, err
+
+
 def main():
     # Relay watchdog: the first in-process device contact would hang
-    # UNINTERRUPTIBLY if the tunnel is down — probe in a subprocess first
-    # (3 tries ≈ 8 min: relay outages observed to be window-shaped) so the
-    # capture always emits its one JSON line.
-    for attempt in range(3):
-        ok, probe_detail = _device_backend_reachable()
-        if ok:
-            break
-        if attempt < 2:
-            time.sleep(30)
-    else:
+    # UNINTERRUPTIBLY if the tunnel is down — probe in a subprocess with a
+    # backoff schedule spanning the bench's whole plausible budget (~54 min
+    # worst case; r3 lost its capture to an outage longer than the old
+    # 8.5 min loop) so the capture always emits its one JSON line.
+    ok, probe_detail, waited = _probe_until_reachable()
+    if not ok:
         print(json.dumps({
             "metric": "memes_per_sec_per_chip_uniter_base_finetune",
             "value": 0.0, "unit": "memes/s/chip", "vs_baseline": 0.0,
-            "extra_metrics": {"error": "device backend unreachable after 3 "
-                              "probe subprocesses; no measurement possible. "
-                              f"Last probe: {probe_detail}"},
+            "extra_metrics": {"error": "device backend unreachable after "
+                              f"{len(PROBE_BACKOFF_S) + 1} probe subprocesses"
+                              f" over {waited / 60:.1f} min; no measurement "
+                              f"possible. Last probe: {probe_detail}"},
         }))
         return
 
-    headline, headline_err = 0.0, None
-    for attempt in range(2):  # retry once: server-side compile cache warms
-        try:
-            headline = _with_timeout(bench_headline, 600)
-            headline_err = None
-            break
-        except Exception as e:  # noqa: BLE001 — report, don't sink the run
-            headline_err = f"error: {type(e).__name__}: {e}"[:200]
-            if not isinstance(e, _Timeout):
-                break
+    headline, headline_err = _run_headline()
     extras = {}
+    if waited:
+        extras["probe_waited_out_outage_min"] = round(waited / 60, 1)
+    for name, fn, budget, retries in EXTRA_TABLE:
+        extras[name] = _run_extra(fn, budget, retries)
+
+    # End-of-run salvage: a mid-capture relay brown-out zeroes whichever
+    # metric it hits. Re-probe (short backoff — the full schedule already
+    # guarded entry) and give the headline plus every errored extra one
+    # more attempt before emitting the line.
+    needs_salvage = (headline <= 0.0 or headline_err is not None or
+                     any(_bad(v) for v in extras.values()))
+    if needs_salvage:
+        ok, _, rewait = _probe_until_reachable(sleeps=(60, 120, 240))
+        if ok:
+            if rewait:
+                extras["salvage_waited_min"] = round(rewait / 60, 1)
+            if headline <= 0.0 or headline_err is not None:
+                headline, headline_err = _run_headline()
+            for name, fn, budget, retries in EXTRA_TABLE:
+                if _bad(extras.get(name)):
+                    extras[name] = _run_extra(fn, budget, retries)
+        else:
+            extras["salvage_skipped"] = "relay unreachable at end of run"
     if headline_err is not None:
         extras["headline_error"] = headline_err
-    # (name, fn, budget_s, retries): UNITER-large gets a dedicated larger
-    # budget — its 24-layer remote compile blew the default 420 s window in
-    # one capture — plus one retry: the remote compile service caches by HLO
-    # hash server-side, so a retry after a timed-out compile usually lands
-    # on the warm entry. (JAX's persistent compilation cache is a no-op on
-    # this backend: the axon PJRT client doesn't serialize executables.)
-    for name, fn, budget, retries in [
-        ("finetune_loop_memes_per_sec", bench_finetune_loop,
-         FINETUNE_LOOP_TIMEOUT_S, 1),  # gather-variant step = own compile
-        ("inference_ms_batch16", bench_inference_p50, EXTRA_TIMEOUT_S, 0),
-        ("text_only_bert_memes_per_sec", bench_text_only, EXTRA_TIMEOUT_S, 0),
-        ("pretrain_memes_per_sec_by_task", bench_pretrain,
-         PRETRAIN_TIMEOUT_S, 0),
-        ("uniter_large_memes_per_sec", bench_uniter_large, 600, 1),
-        ("extraction_sec_per_img", bench_extraction, EXTRA_TIMEOUT_S, 0),
-    ]:
-        for attempt in range(retries + 1):
-            try:
-                extras[name] = jax.tree.map(
-                    lambda v: v if isinstance(v, str) else round(float(v), 3),
-                    _with_timeout(fn, budget))
-                break
-            except Exception as e:  # noqa: BLE001 — report, don't sink the run
-                extras[name] = f"error: {type(e).__name__}: {e}"[:200]
-                if not isinstance(e, _Timeout):
-                    break
 
     print(json.dumps({
         "metric": "memes_per_sec_per_chip_uniter_base_finetune",
