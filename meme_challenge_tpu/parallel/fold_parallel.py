@@ -46,6 +46,8 @@ from meme_challenge_tpu.train.schedules import make_schedule
 from meme_challenge_tpu.train.steps import (
     TrainState,
     chunk_batches,
+    eval_chain_token,
+    fetch_all,
     stack_chunk,
     stack_for_accum,
 )
@@ -299,13 +301,25 @@ class FoldParallelTrainer:
             return jax.nn.sigmoid(
                 logits.reshape(logits.shape[0], -1)[:, 0].astype(jnp.float32))
 
-        self._eval_step = jax.jit(
+        # Successive eval dispatches are dependency-chained through a
+        # zero-valued scalar token (steps.make_eval_step / detector.py
+        # pattern) so a whole loader pass stays in flight on the relay and
+        # the host fetches ONCE after the last dispatch — a per-batch
+        # np.asarray serialized host stacking against device compute and
+        # paid the relay RTT per batch (r3 review item 2).
+        def _chained(ev_vm):
+            def step(params, batch, data, token):
+                probs = ev_vm(params, batch, data) + token  # token == 0.0
+                return probs, probs.reshape(-1)[0] * 0.0
+            return jax.jit(step)
+
+        self._eval_step = _chained(
             jax.vmap(fold_eval, in_axes=(0, 0, data_axis)))
         # shared-batch variant: one [B, ...] batch broadcast over the fold
         # axis on device (in_axes=(0, None)) — H2D bytes independent of F.
         # With gather, the shared loader's dataset is one UNSTACKED array
         # set shared by every fold.
-        self._eval_step_shared = jax.jit(
+        self._eval_step_shared = _chained(
             jax.vmap(fold_eval, in_axes=(0, None, None)))
 
         def snapshot(best, current, improved_mask):
@@ -460,6 +474,9 @@ class FoldParallelTrainer:
         iters = [iter(l) for l in self.val_loaders]
         probs_per_fold = [[] for _ in range(self.num_folds)]
         labels_per_fold = [[] for _ in range(self.num_folds)]
+        # pipelined pass: every dispatch chained + in flight; one fetch at
+        # the end (see _chained in _build_steps)
+        token, pending, host_batches = eval_chain_token(), [], []
         while True:
             batches = []
             try:
@@ -472,9 +489,11 @@ class FoldParallelTrainer:
             device_batch = {k: np.stack(
                 [np.asarray(b[k]) for b in batches], axis=0)
                 for k in batches[0]}
-            probs = np.asarray(self._eval_step(self.state.params,
-                                               device_batch,
-                                               self._val_data))
+            out, token = self._eval_step(self.state.params, device_batch,
+                                         self._val_data, token)
+            pending.append(out)
+            host_batches.append(batches)
+        for probs, batches in zip(fetch_all(pending), host_batches):
             for f in range(self.num_folds):
                 mask = batches[f]["sample_mask"].astype(bool)
                 probs_per_fold[f].append(probs[f][mask])
@@ -631,6 +650,8 @@ class FoldParallelTrainer:
             iters = [iter(l) for l in loaders]
             probs_per_fold = [[] for _ in range(self.num_folds)]
             ids_per_fold = [[] for _ in range(self.num_folds)]
+            # pipelined pass (same shape as eval_folds): fetch once at end
+            token, pending, host_batches = eval_chain_token(), [], []
             while True:
                 batches = []
                 try:
@@ -641,8 +662,11 @@ class FoldParallelTrainer:
                 device_batch = {k: np.stack(
                     [np.asarray(b[k]) for b in batches], axis=0)
                     for k in batches[0] if k != "ids"}
-                probs = np.asarray(self._eval_step(self.state.params,
-                                                   device_batch, pred_data))
+                out, token = self._eval_step(self.state.params,
+                                             device_batch, pred_data, token)
+                pending.append(out)
+                host_batches.append(batches)
+            for probs, batches in zip(fetch_all(pending), host_batches):
                 for f in range(self.num_folds):
                     mask = batches[f]["sample_mask"].astype(bool)
                     probs_per_fold[f].append(probs[f][mask])
@@ -670,16 +694,22 @@ class FoldParallelTrainer:
                 self._data_cache[key] = cached
             shared_data = cached[1]
         try:
-            probs_chunks, ids_chunks = [], []
+            # pipelined pass: fetch once at end (see _chained)
+            token, pending, masks, ids_chunks = (
+                eval_chain_token(), [], [], [])
             for batch in loader:
                 b = dict(batch)
                 ids = b.pop("ids")
                 device_batch = {k: np.asarray(v) for k, v in b.items()}
-                probs = np.asarray(self._eval_step_shared(
-                    self.state.params, device_batch, shared_data))  # [F, B]
+                out, token = self._eval_step_shared(
+                    self.state.params, device_batch, shared_data,
+                    token)  # [F, B]
+                pending.append(out)
                 mask = batch["sample_mask"].astype(bool)
-                probs_chunks.append(probs[:, mask])
+                masks.append(mask)
                 ids_chunks.append(np.asarray(ids)[mask])
+            probs_chunks = [p[:, m]
+                            for p, m in zip(fetch_all(pending), masks)]
             probs_cat = np.concatenate(probs_chunks, axis=1)
             ids_cat = np.concatenate(ids_chunks)
             return ([probs_cat[f] for f in range(self.num_folds)],

@@ -219,21 +219,46 @@ def chunk_batches(stream, steps_per_dispatch: int):
 
 def make_eval_step(model_apply_eval: Callable, probs_fn: Callable,
                    gather_data: bool = False):
-    """Jitted eval step: batch → probabilities (no grads, no dropout).
+    """Jitted eval step: batch → (probabilities, chain token).
 
     ``model_apply_eval(params, batch)`` → logits;
     ``probs_fn(logits)`` → probabilities (sigmoid / softmax per loss mode).
     ``gather_data=True``: the step takes ``data`` and the batch carries
     ``indices`` + ``sample_mask`` (device-resident pipeline).
-    """
 
-    def eval_step(params, batch, data=None):
+    Successive dispatches are *dependency-chained* through a zero-valued
+    scalar token (same device-pipelining trick as extract/detector.py): the
+    token rides into the probabilities (``+ 0.0``, a value no-op that keeps
+    the argument in the jaxpr so jit's unused-arg pruning can't drop the
+    runtime dependency) and the out-token is derived from the computed
+    probabilities. The eval loops keep every dispatch of a loader pass in
+    flight and fetch ONCE at the end — per-batch ``np.asarray`` syncs
+    serialized host batch assembly against device compute and paid the
+    relay RTT per batch (r3 review)."""
+
+    def eval_step(params, batch, data=None, token=None):
         if gather_data:
             batch = gather_micro(data, batch)
         logits = model_apply_eval(params, batch)
-        return probs_fn(logits)
+        probs = probs_fn(logits)
+        if token is None:
+            return probs
+        probs = probs + token  # token == 0.0 always: dependency edge only
+        return probs, probs.reshape(-1)[0] * 0.0
 
     return jax.jit(eval_step)
+
+
+def eval_chain_token() -> Array:
+    """Fresh zero token opening a chained eval pass (:func:`make_eval_step`)."""
+    return jnp.zeros((), jnp.float32)
+
+
+def fetch_all(pending: list) -> list:
+    """Drain a loader pass's in-flight eval dispatches at ONE host sync
+    point — called only after every dispatch of the pass is enqueued, so
+    the device pipeline is never stalled by host-side batch assembly."""
+    return [np.asarray(p) for p in pending]
 
 
 def stack_for_accum(batches: list) -> Dict[str, Array]:

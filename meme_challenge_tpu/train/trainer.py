@@ -45,6 +45,8 @@ from meme_challenge_tpu.train.steps import (
     TrainState,
     chunk_batches,
     create_train_state,
+    eval_chain_token,
+    fetch_all,
     make_eval_step,
     make_train_multi_step,
     make_train_step,
@@ -337,14 +339,18 @@ class Trainer:
     # ------------------------------------------------------------------- eval
 
     def eval_model(self, loader: BatchLoader):
-        probs_list, labels_list = [], []
+        # pipelined pass: all dispatches chained + in flight, ONE fetch at
+        # the end (steps.make_eval_step docstring; r3 review item 2)
         gather = bool(getattr(loader, "index_batches", False))
         step, data = self._eval_steps[gather], self._data_for(loader)
+        token, pending, masks, labels_list = eval_chain_token(), [], [], []
         for batch in loader:
             mask = batch["sample_mask"].astype(bool)
-            probs = np.asarray(step(self.state.params, batch, data))
-            probs_list.append(probs[mask])
+            out, token = step(self.state.params, batch, data, token)
+            pending.append(out)
+            masks.append(mask)
             labels_list.append(batch["labels"][mask])
+        probs_list = [p[m] for p, m in zip(fetch_all(pending), masks)]
         probs = np.concatenate(probs_list)
         labels = np.concatenate(labels_list)
         metrics = standard_metrics(probs, labels, add_optimal_acc=True)
@@ -357,16 +363,21 @@ class Trainer:
         return metrics, float(np.mean(batch_losses))
 
     def predict(self, loader: BatchLoader):
-        """Probabilities + ids over a loader (reference export path)."""
-        probs_list, ids_list, labels_list = [], [], []
+        """Probabilities + ids over a loader (reference export path).
+
+        Same pipelined dispatch pattern as :meth:`eval_model`."""
         gather = bool(getattr(loader, "index_batches", False))
         step, data = self._eval_steps[gather], self._data_for(loader)
+        token, pending, masks = eval_chain_token(), [], []
+        ids_list, labels_list = [], []
         for batch in loader:
             mask = batch["sample_mask"].astype(bool)
-            probs = np.asarray(step(self.state.params, batch, data))
-            probs_list.append(probs[mask])
+            out, token = step(self.state.params, batch, data, token)
+            pending.append(out)
+            masks.append(mask)
             ids_list.append(batch["ids"][mask])
             labels_list.append(batch["labels"][mask])
+        probs_list = [p[m] for p, m in zip(fetch_all(pending), masks)]
         return (np.concatenate(probs_list), np.concatenate(ids_list),
                 np.concatenate(labels_list))
 
