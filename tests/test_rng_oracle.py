@@ -42,11 +42,14 @@ def refdata():
     import data.pretrain_mlm as ref_mlm
     import data.pretrain_meme_dataset as ref_pmd
     # torch-1.6 compat shim: the reference calls Sampler.__init__(dataset)
-    # (data/meme_dataset.py:224); modern torch removed that signature
-    if torch.utils.data.Sampler.__init__ is object.__init__:
+    # (data/meme_dataset.py:224); modern torch removed that signature.
+    # Restored on module teardown so the shim can't leak into later tests.
+    saved_init = torch.utils.data.Sampler.__init__
+    if saved_init is object.__init__:
         torch.utils.data.Sampler.__init__ = \
             lambda self, data_source=None: None
-    return types.SimpleNamespace(md=ref_md, mlm=ref_mlm, pmd=ref_pmd)
+    yield types.SimpleNamespace(md=ref_md, mlm=ref_mlm, pmd=ref_pmd)
+    torch.utils.data.Sampler.__init__ = saved_init
 
 
 # ---------------------------------------------------------- ConfounderSampler
@@ -223,8 +226,9 @@ def test_meta_loader_sequence_matches_reference(refdata, accum):
     our_seq = [next(our_it) for _ in range(n_steps)]
 
     assert [t for t, _ in our_seq] == ref_tasks
-    # task held fixed within each accum group (reference semantics)
-    for g in range(0, n_steps - accum, accum):
+    # task held fixed within each accum group (reference semantics) —
+    # every COMPLETE group, including the last one (advisor r3)
+    for g in range(0, n_steps - n_steps % accum, accum):
         assert len({t for t, _ in our_seq[g:g + accum]}) == 1
     # batches cycle through each loader in order on both sides
     assert [int(b) for _, b in our_seq] == \
