@@ -169,6 +169,11 @@ class TrainConfig:
                                         # batches (a chunk would stack K×
                                         # accum feature-MBs). Pointwise-
                                         # equal to unchunked — test_train
+    dispatch_unroll: int = 1            # unroll of the chunk's scan over
+                                        # optimizer steps: >1 lets XLA
+                                        # overlap step k's optimizer tail
+                                        # with step k+1's first forward
+                                        # (same ops/order — numerics equal)
     confounder_repeat: int = 1
     object_conf_thresh: float = 0.0
     num_folds: int = 0                  # 0 = default split, -1 = all folds

@@ -287,7 +287,8 @@ class FoldParallelTrainer:
                 rngs = jax.vmap(jax.random.fold_in)(fold_roots, st.step)
                 return vm(st, batch, rngs, data)
 
-            return jax.lax.scan(body, state, batches)
+            return jax.lax.scan(body, state, batches,
+                                unroll=c.dispatch_unroll)
 
         self._train_multi_step = jax.jit(multi, donate_argnums=(0,))
 

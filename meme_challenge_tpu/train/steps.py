@@ -150,6 +150,7 @@ def make_train_multi_step(
     steps_per_dispatch: int = 8,
     donate: bool = True,
     gather_data: bool = False,
+    unroll: int = 1,
 ):
     """``steps_per_dispatch`` optimizer steps in ONE jitted dispatch.
 
@@ -165,6 +166,14 @@ def make_train_multi_step(
     state.step)`` — bit-identical to the single-step trainer's host-side
     ``fold_in(root, host_step)`` stream, so chunked and unchunked training
     are pointwise equal (tests/test_train.py).
+
+    ``unroll > 1`` unrolls the scan over optimizer steps: consecutive steps
+    land in one straight-line XLA block, letting the scheduler overlap step
+    k's serial optimizer tail (~4 ms of a 32 ms UNITER-base step, already
+    at its HBM roofline) with step k+1's first micro-batch forward — the
+    overlap is impossible across scan iterations or separate dispatches
+    (TPU cores run one program region at a time). Numerically identical to
+    ``unroll=1`` (same ops, same order per step).
     """
     body = _train_step_body(model_apply, loss_fn, tx, accum_steps,
                             gather_data)
@@ -185,7 +194,7 @@ def make_train_multi_step(
             rng = jax.random.fold_in(root_rng, st.step)
             return body(st, batch, rng, data)
 
-        return jax.lax.scan(scan_body, state, batches)
+        return jax.lax.scan(scan_body, state, batches, unroll=unroll)
 
     return jax.jit(multi_step, donate_argnums=(0,) if donate else ())
 

@@ -55,8 +55,14 @@ def add_train_config_args(parser: argparse.ArgumentParser) -> None:
             # (e.g. preload_features) remain switchable off
             parser.add_argument(name, action=argparse.BooleanOptionalAction,
                                 default=f.default)
-        elif f.name in ("mesh_shape", "mesh_axes"):
-            continue
+        elif f.name == "mesh_shape":
+            parser.add_argument(name, type=str, default="",
+                                help='device mesh, e.g. "4,2" (with a fold '
+                                     "axis this routes to the fold-parallel "
+                                     "crossval driver)")
+        elif f.name == "mesh_axes":
+            parser.add_argument(name, type=str, default="fold,data",
+                                help='mesh axis names, e.g. "fold,data"')
         else:
             typ = (type(f.default) if f.default is not None else str)
             parser.add_argument(name, type=typ, default=f.default)
@@ -171,6 +177,12 @@ def main(argv=None):
     cfg_dict = {f.name: getattr(args, f.name)
                 for f in dataclasses.fields(TrainConfig)
                 if hasattr(args, f.name)}
+    cfg_dict["mesh_shape"] = tuple(
+        int(x) for x in str(cfg_dict.get("mesh_shape") or "").split(",")
+        if x.strip())
+    cfg_dict["mesh_axes"] = tuple(
+        x.strip() for x in str(cfg_dict.get("mesh_axes")
+                               or "fold,data").split(",") if x.strip())
     config = TrainConfig(**cfg_dict)
     uniter_config = (UniterConfig.from_json_file(args.uniter_config)
                      if args.uniter_config else UniterConfig())
@@ -184,6 +196,31 @@ def main(argv=None):
     set_seed(config.seed)
     loader_funcs, test_loaders, trainer_factory = build_entry(
         config, uniter_config, args.vocab_file)
+    if config.mesh_shape and "fold" in config.mesh_axes:
+        # --mesh_shape 4,2 --mesh_axes fold,data → all folds train
+        # SIMULTANEOUSLY on the mesh (parallel/crossval_parallel.py); the
+        # sequential driver below remains the single-chip default
+        from meme_challenge_tpu.parallel.crossval_parallel import (
+            train_crossval_fold_parallel,
+        )
+        from meme_challenge_tpu.parallel.mesh import make_mesh
+
+        model = MemeUniter(uniter_config, n_classes=config.n_classes)
+
+        def init_params_fn(seed, example):
+            return init_meme_uniter_params(
+                model, uniter_config, config, jax.random.PRNGKey(seed),
+                example)
+
+        mesh = make_mesh(config.mesh_shape, config.mesh_axes)
+        return train_crossval_fold_parallel(
+            config, model, init_params_fn, loader_funcs,
+            test_loaders=test_loaders, num_folds=config.num_folds,
+            dev_size=config.crossval_dev_size,
+            use_dev_set=config.crossval_use_dev, mesh=mesh,
+            resume_path=(os.path.join(config.model_path,
+                                      "crossval_resume.msgpack")
+                         if not config.no_model_checkpoints else None))
     return train_crossval(
         trainer_factory, config, loader_funcs, test_loaders,
         num_folds=config.num_folds, dev_size=config.crossval_dev_size,

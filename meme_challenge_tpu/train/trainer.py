@@ -145,7 +145,8 @@ class Trainer:
                 model_apply_train, self.loss_fn, self.tx,
                 accum_steps=c.gradient_accumulation,
                 steps_per_dispatch=self.steps_per_dispatch,
-                gather_data=self._gather_train)
+                gather_data=self._gather_train,
+                unroll=c.dispatch_unroll)
         if c.loss_func == "ce":
             probs_fn = lambda lg: jax.nn.softmax(lg.astype(jnp.float32), -1)
         else:

@@ -51,6 +51,13 @@ def main():
                     help="bf16 S^2 score/prob storage (softmax math fp32)")
     ap.add_argument("--drop-bits8", action="store_true",
                     help="uint8 dropout PRNG words (mask traffic /4)")
+    ap.add_argument("--chunked", type=int, default=0,
+                    help="K optimizer steps per dispatch via "
+                         "make_train_multi_step (0 = per-step dispatch)")
+    ap.add_argument("--chunk-unroll", type=int, default=1,
+                    help="scan unroll over the chunk's optimizer steps "
+                         "(>1: XLA may overlap step k's optimizer tail "
+                         "with step k+1's first forward)")
     args = ap.parse_args()
 
     kw = dict(dtype="bfloat16",
@@ -134,10 +141,39 @@ def main():
         return model.apply({"params": params_}, batch, deterministic=False,
                            rngs={"dropout": rng_})
 
-    train_step = make_train_step(model_apply_train, loss_fn, tx,
-                                 accum_steps=args.accum)
     state = create_train_state(params, tx)
     root = jax.random.PRNGKey(0)
+
+    if args.chunked:
+        from meme_challenge_tpu.train.steps import make_train_multi_step
+
+        K = args.chunked
+        multi = make_train_multi_step(model_apply_train, loss_fn, tx,
+                                      accum_steps=args.accum,
+                                      steps_per_dispatch=K,
+                                      unroll=args.chunk_unroll)
+        chunk = jax.tree.map(
+            lambda x: jnp.broadcast_to(x[None], (K,) + x.shape),
+            device_batch)
+        for _ in range(args.warmup):
+            state, out = multi(state, chunk, root)
+            np.asarray(out["loss"])
+        n_calls = max(1, args.steps // K)
+        t0 = time.perf_counter()
+        for _ in range(n_calls):
+            state, out = multi(state, chunk, root)
+        np.asarray(out["loss"])
+        elapsed = time.perf_counter() - t0
+        total_steps = n_calls * K
+        print(json.dumps({
+            "config": vars(args),
+            "ms_per_step": round(elapsed / total_steps * 1000, 2),
+            "memes_per_sec_per_chip": round(
+                B * args.accum * total_steps / elapsed, 1)}))
+        return
+
+    train_step = make_train_step(model_apply_train, loss_fn, tx,
+                                 accum_steps=args.accum)
     for i in range(args.warmup):
         state, out = train_step(state, device_batch, jax.random.fold_in(root, i))
         np.asarray(out["loss"])

@@ -342,10 +342,12 @@ def test_chunked_dispatch_matches_single_step(synth, tmp_path):
                   max_txt_len=12, max_bb=16, img_dim=32)
     model = MemeUniter(ucfg, n_classes=1)
 
-    def run(steps_per_dispatch):
+    def run(steps_per_dispatch, unroll=1):
         set_seed(tcfg.seed)
         cfg = tcfg.replace(steps_per_dispatch=steps_per_dispatch,
-                           model_save_name=f"chunk{steps_per_dispatch}.ckpt")
+                           dispatch_unroll=unroll,
+                           model_save_name=f"chunk{steps_per_dispatch}"
+                                           f"u{unroll}.ckpt")
         train = BatchLoader(MemeDataset(
             os.path.join(synth["root"], "train.jsonl"), **kwargs), 8,
             index_batches=True)
@@ -373,6 +375,14 @@ def test_chunked_dispatch_matches_single_step(synth, tmp_path):
     assert t2.val_loss == pytest.approx(t1.val_loss, abs=1e-5)
     for a, b in zip(jax.tree.leaves(t1.state.params),
                     jax.tree.leaves(t2.state.params)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=2e-6)
+    # dispatch_unroll > 1 (optimizer-tail/next-forward overlap window for
+    # the XLA scheduler) is the same ops in the same per-step order —
+    # pointwise-equal to the rolled scan
+    _, unroll_probs, t3 = run(2, unroll=2)
+    np.testing.assert_allclose(unroll_probs, chunk_probs, atol=2e-6)
+    for a, b in zip(jax.tree.leaves(t2.state.params),
+                    jax.tree.leaves(t3.state.params)):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=2e-6)
 
 
