@@ -174,6 +174,16 @@ class TrainConfig:
                                         # overlap step k's optimizer tail
                                         # with step k+1's first forward
                                         # (same ops/order — numerics equal)
+    fuse_accum: bool = False            # compute the accumulated gradient
+                                        # as ONE fused fwd/bwd over the
+                                        # flattened [accum·B] batch instead
+                                        # of a scan of micro backwards.
+                                        # Loss stays the mean of per-micro
+                                        # masked means (exact accumulation
+                                        # semantics); only the dropout
+                                        # stream differs. +30% on
+                                        # UNITER-base b16×a2 (BASELINE r4);
+                                        # costs accum× activation memory
     confounder_repeat: int = 1
     object_conf_thresh: float = 0.0
     num_folds: int = 0                  # 0 = default split, -1 = all folds

@@ -252,7 +252,37 @@ class FoldParallelTrainer:
 
         grad_fn = jax.value_and_grad(micro_loss, has_aux=True)
 
+        def fused_loss(params, batch, rng, data):
+            # fuse_accum (steps._train_step_body): one fwd/bwd over the
+            # flattened [accum·B] fold batch; loss stays the mean of
+            # per-micro masked means (exact accumulation semantics)
+            flat = jax.tree.map(lambda x: x.reshape((-1,) + x.shape[2:]),
+                                batch)
+            if gather:
+                flat = fold_gather(data, flat)
+            logits = model.apply({"params": params}, flat,
+                                 deterministic=False, rngs={"dropout": rng})
+
+            def unflat(x):
+                return x.reshape((accum, -1) + x.shape[1:])
+
+            losses, probs = jax.vmap(loss_fn)(unflat(logits),
+                                              unflat(flat["labels"]),
+                                              unflat(flat["sample_mask"]))
+            return jnp.mean(losses), (losses, probs)
+
+        fused_grad_fn = jax.value_and_grad(fused_loss, has_aux=True)
+
         def fold_update(state: TrainState, batch, rng, data):
+            if c.fuse_accum and accum > 1:
+                (_, (losses, probs)), grads = fused_grad_fn(
+                    state.params, batch, rng, data)
+                updates, new_opt = tx.update(grads, state.opt_state,
+                                             state.params)
+                new_params = optax.apply_updates(state.params, updates)
+                return (TrainState(new_params, new_opt, state.step + 1),
+                        {"loss": losses, "probs": probs})
+
             rngs = jax.random.split(rng, accum)
 
             def scan_body(grad_acc, xs):

@@ -67,6 +67,7 @@ def make_train_step(
     accum_steps: int = 1,
     donate: bool = True,
     gather_data: bool = False,
+    fuse_accum: bool = False,
 ):
     """Build the jitted train step.
 
@@ -80,16 +81,39 @@ def make_train_step(
     a fourth argument ``data`` (full-dataset device arrays, incl.
     ``labels``), the batch carries only ``indices`` + ``sample_mask``, and
     micro-batches are gathered on device (:func:`gather_micro`).
+
+    ``fuse_accum=True`` replaces the accumulation scan with ONE fused
+    forward/backward over the flattened ``[accum·micro_bs]`` batch (see
+    :func:`_train_step_body`) — the TPU-first shape when the effective
+    batch fits HBM.
     """
 
     body = _train_step_body(model_apply, loss_fn, tx, accum_steps,
-                            gather_data)
+                            gather_data, fuse_accum)
     return jax.jit(body, donate_argnums=(0,) if donate else ())
 
 
-def _train_step_body(model_apply, loss_fn, tx, accum_steps, gather_data):
+def _train_step_body(model_apply, loss_fn, tx, accum_steps, gather_data,
+                     fuse_accum=False):
     """The raw (un-jitted) one-optimizer-step function shared by
-    :func:`make_train_step` and :func:`make_train_multi_step`."""
+    :func:`make_train_step` and :func:`make_train_multi_step`.
+
+    ``fuse_accum=True`` computes the accumulated gradient as ONE fused
+    forward/backward over the flattened ``[accum·micro_bs, ...]`` batch
+    instead of a ``lax.scan`` of per-micro backwards. Gradient
+    accumulation exists in the reference to fit a GPU memory budget
+    (train_template.py:101-109); on TPU the effective batch usually fits
+    HBM outright, and one large fused step keeps the MXU fuller than
+    ``accum`` small ones (measured +30% on UNITER-base b16×a2 → fused 32,
+    BASELINE.md r4). The LOSS SEMANTICS are preserved exactly: logits are
+    reshaped back to ``[accum, micro_bs]`` and the loss is the mean of
+    per-micro masked means — bitwise the same reduction tree as the scan
+    path up to float reassociation, including padded final micro-batches
+    where a flat masked mean would weight samples differently. The only
+    behavioral delta is the dropout stream (one fused draw instead of
+    ``accum`` split draws — a different but equally valid sample;
+    per-activation masks stay independent either way).
+    """
 
     def micro_loss(params, micro_batch, rng, data):
         if gather_data:
@@ -101,9 +125,37 @@ def _train_step_body(model_apply, loss_fn, tx, accum_steps, gather_data):
 
     grad_fn = jax.value_and_grad(micro_loss, has_aux=True)
 
+    def fused_loss(params, batch, rng, data):
+        # flatten [accum, B, ...] → [accum·B, ...]: one forward for the
+        # whole effective batch (indices flatten the same way, so the
+        # device-resident gather is one fused take too)
+        flat = jax.tree.map(lambda x: x.reshape((-1,) + x.shape[2:]), batch)
+        if gather_data:
+            flat = gather_micro(data, flat)
+        logits = model_apply(params, flat, rng)
+
+        def unflat(x):
+            return x.reshape((accum_steps, -1) + x.shape[1:])
+
+        losses, probs = jax.vmap(loss_fn)(unflat(logits),
+                                          unflat(flat["labels"]),
+                                          unflat(flat["sample_mask"]))
+        return jnp.mean(losses), (losses, probs)
+
+    fused_grad_fn = jax.value_and_grad(fused_loss, has_aux=True)
+
     def train_step(state: TrainState, batch: Dict[str, Array], rng: Array,
                    data: Optional[Dict[str, Array]] = None
                    ) -> Tuple[TrainState, Dict[str, Array]]:
+        if fuse_accum and accum_steps > 1:
+            (_, (losses, probs)), grads = fused_grad_fn(
+                state.params, batch, rng, data)
+            updates, new_opt_state = tx.update(grads, state.opt_state,
+                                               state.params)
+            new_params = optax.apply_updates(state.params, updates)
+            return (TrainState(new_params, new_opt_state, state.step + 1),
+                    {"loss": losses, "probs": probs})
+
         rngs = jax.random.split(rng, accum_steps)
 
         if accum_steps == 1:
@@ -151,6 +203,7 @@ def make_train_multi_step(
     donate: bool = True,
     gather_data: bool = False,
     unroll: int = 1,
+    fuse_accum: bool = False,
 ):
     """``steps_per_dispatch`` optimizer steps in ONE jitted dispatch.
 
@@ -176,7 +229,7 @@ def make_train_multi_step(
     ``unroll=1`` (same ops, same order per step).
     """
     body = _train_step_body(model_apply, loss_fn, tx, accum_steps,
-                            gather_data)
+                            gather_data, fuse_accum)
 
     def multi_step(state: TrainState, batches: Dict[str, Array],
                    root_rng: Array,

@@ -133,7 +133,8 @@ class Trainer:
         self.train_step = make_train_step(
             model_apply_train, self.loss_fn, self.tx,
             accum_steps=c.gradient_accumulation,
-            gather_data=self._gather_train)
+            gather_data=self._gather_train,
+            fuse_accum=c.fuse_accum)
         # chunked dispatch: K optimizer steps per jitted call (lax.scan) —
         # amortizes the per-step dispatch RTT. Auto: only worthwhile when
         # the chunk upload is index bytes, not K× feature megabytes.
@@ -146,7 +147,8 @@ class Trainer:
                 accum_steps=c.gradient_accumulation,
                 steps_per_dispatch=self.steps_per_dispatch,
                 gather_data=self._gather_train,
-                unroll=c.dispatch_unroll)
+                unroll=c.dispatch_unroll,
+                fuse_accum=c.fuse_accum)
         if c.loss_func == "ce":
             probs_fn = lambda lg: jax.nn.softmax(lg.astype(jnp.float32), -1)
         else:

@@ -58,6 +58,10 @@ def main():
                     help="scan unroll over the chunk's optimizer steps "
                          "(>1: XLA may overlap step k's optimizer tail "
                          "with step k+1's first forward)")
+    ap.add_argument("--fuse", action="store_true",
+                    help="fuse_accum: one fwd/bwd over the flattened "
+                         "[accum*B] batch instead of the accumulation scan "
+                         "(exact mean-of-micro-means loss semantics)")
     args = ap.parse_args()
 
     kw = dict(dtype="bfloat16",
@@ -151,7 +155,8 @@ def main():
         multi = make_train_multi_step(model_apply_train, loss_fn, tx,
                                       accum_steps=args.accum,
                                       steps_per_dispatch=K,
-                                      unroll=args.chunk_unroll)
+                                      unroll=args.chunk_unroll,
+                                      fuse_accum=args.fuse)
         chunk = jax.tree.map(
             lambda x: jnp.broadcast_to(x[None], (K,) + x.shape),
             device_batch)
@@ -173,7 +178,8 @@ def main():
         return
 
     train_step = make_train_step(model_apply_train, loss_fn, tx,
-                                 accum_steps=args.accum)
+                                 accum_steps=args.accum,
+                                 fuse_accum=args.fuse)
     for i in range(args.warmup):
         state, out = train_step(state, device_batch, jax.random.fold_in(root, i))
         np.asarray(out["loss"])

@@ -386,6 +386,124 @@ def test_chunked_dispatch_matches_single_step(synth, tmp_path):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=2e-6)
 
 
+def test_fuse_accum_matches_scan_accum(synth, tmp_path):
+    """fuse_accum=True (one fused fwd/bwd over the flattened [accum·B]
+    batch, steps._train_step_body) reproduces the accumulation scan
+    pointwise when dropout is off: the loss is the mean of per-micro
+    masked means either way, so gradients agree up to float reassociation.
+    The confounder-upsampled loader pads the final micro-batch, covering
+    the case where a flat masked mean WOULD weight samples differently.
+    Runs both host-batch and device-resident (fused flattened gather)
+    modes, and the fused step under chunked dispatch."""
+    import os
+
+    from meme_challenge_tpu.core.seeding import set_seed
+    from meme_challenge_tpu.data.meme_dataset import BatchLoader, MemeDataset
+    from meme_challenge_tpu.data.tokenizer import BertTokenizer
+    from meme_challenge_tpu.models.uniter import MemeUniter
+    from meme_challenge_tpu.train.trainer import Trainer
+
+    ucfg, tcfg = _tiny_configs(synth, tmp_path, max_epoch=2)
+    import dataclasses
+    ucfg = dataclasses.replace(ucfg, hidden_dropout_prob=0.0,
+                               attention_probs_dropout_prob=0.0)
+    tok = BertTokenizer(synth["vocab"])
+    kwargs = dict(feature_dir=synth["feature_dir"], tokenizer=tok,
+                  max_txt_len=12, max_bb=16, img_dim=32)
+    model = MemeUniter(ucfg, n_classes=1)
+
+    def run(fuse, index_batches=False, steps_per_dispatch=0):
+        set_seed(tcfg.seed)
+        cfg = tcfg.replace(fuse_accum=fuse,
+                           steps_per_dispatch=steps_per_dispatch,
+                           model_save_name=f"fuse{fuse}i{index_batches}"
+                                           f"k{steps_per_dispatch}.ckpt")
+        train = BatchLoader(MemeDataset(
+            os.path.join(synth["root"], "train.jsonl"), **kwargs), 8,
+            index_batches=index_batches)
+        val = BatchLoader(MemeDataset(
+            os.path.join(synth["root"], "dev_seen.jsonl"), **kwargs), 8,
+            index_batches=index_batches)
+        example = dict(next(iter(BatchLoader(train.dataset, 8))))
+        example.pop("ids", None)
+        params = model.init(jax.random.PRNGKey(0), example,
+                            deterministic=True)["params"]
+        trainer = Trainer(cfg, model, jax.tree.map(np.copy, params),
+                          train, val, [])
+        best, _ = trainer.train_main()
+        probs, _, _ = trainer.predict(val)
+        return best, probs, trainer
+
+    scan_best, scan_probs, t_scan = run(False)
+    fused_best, fused_probs, t_fused = run(True)
+    np.testing.assert_allclose(fused_probs, scan_probs, atol=5e-5)
+    assert fused_best["aucroc"] == pytest.approx(scan_best["aucroc"],
+                                                 abs=1e-4)
+    for a, b in zip(jax.tree.leaves(t_scan.state.params),
+                    jax.tree.leaves(t_fused.state.params)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=5e-5)
+
+    # device-resident: the fused step gathers the flattened [accum·B]
+    # index vector in one take; chunked dispatch scans the fused body
+    _, devres_probs, t_dev = run(True, index_batches=True,
+                                 steps_per_dispatch=2)
+    np.testing.assert_allclose(devres_probs, fused_probs, atol=1e-6)
+    for a, b in zip(jax.tree.leaves(t_fused.state.params),
+                    jax.tree.leaves(t_dev.state.params)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=2e-6)
+
+
+def test_fuse_accum_fold_parallel_matches_sequential(synth, tmp_path):
+    """FoldParallelTrainer honors fuse_accum: F=1 fused fold-parallel
+    reproduces the sequential fused Trainer (dropout off)."""
+    import os
+
+    from meme_challenge_tpu.core.seeding import set_seed
+    from meme_challenge_tpu.data.meme_dataset import BatchLoader, MemeDataset
+    from meme_challenge_tpu.data.tokenizer import BertTokenizer
+    from meme_challenge_tpu.models.uniter import MemeUniter
+    from meme_challenge_tpu.parallel.fold_parallel import FoldParallelTrainer
+    from meme_challenge_tpu.train.trainer import Trainer
+
+    ucfg, tcfg = _tiny_configs(synth, tmp_path, max_epoch=2,
+                               confounder_repeat=1, fuse_accum=True,
+                               model_save_name="fusepar.ckpt")
+    import dataclasses
+    ucfg = dataclasses.replace(ucfg, hidden_dropout_prob=0.0,
+                               attention_probs_dropout_prob=0.0)
+    tok = BertTokenizer(synth["vocab"])
+    kwargs = dict(feature_dir=synth["feature_dir"], tokenizer=tok,
+                  max_txt_len=12, max_bb=16, img_dim=32)
+    model = MemeUniter(ucfg, n_classes=1)
+
+    def loaders():
+        train = BatchLoader(MemeDataset(
+            os.path.join(synth["root"], "train.jsonl"), **kwargs), 8)
+        val = BatchLoader(MemeDataset(
+            os.path.join(synth["root"], "dev_seen.jsonl"), **kwargs), 8)
+        return train, val
+
+    set_seed(tcfg.seed)
+    train_l, val_l = loaders()
+    example = dict(next(iter(BatchLoader(train_l.dataset, 8))))
+    example.pop("ids", None)
+    params = model.init(jax.random.PRNGKey(0), example,
+                        deterministic=True)["params"]
+    seq = Trainer(tcfg, model, jax.tree.map(np.copy, params),
+                  train_l, val_l, [])
+    seq.train_main()
+    seq_probs, _, _ = seq.predict(val_l)
+
+    set_seed(tcfg.seed)
+    train_l2, val_l2 = loaders()
+    stacked = jax.tree.map(lambda x: np.asarray(x)[None], params)
+    par = FoldParallelTrainer(tcfg, model, stacked, [train_l2], [val_l2])
+    par.train_main()
+    par_probs, _ = par.predict_folds([val_l2])
+    np.testing.assert_allclose(np.asarray(seq_probs).ravel(),
+                               par_probs[0].ravel(), atol=5e-5)
+
+
 def test_single_fold_device_resident_cli_path(synth, tmp_path):
     """build_entry --device_resident_data: index-mode loaders flow through
     the crossval driver, training works, artifacts export."""
