@@ -599,16 +599,72 @@ def bench_pretrain():
 
     for task in ("itm", "mrfr", "mrc-kl"):
         measure_task(task)
+
+    def mlm_fused():
+        # fuse_accum task step (one fused fwd/bwd over the flattened
+        # [accum·B] batch, per-micro reductions) — lowest priority: a
+        # fresh compile that must not cost the per-task rows above.
+        # On-device param copy: trainer.state's buffers were donated
+        params_f = jax.jit(lambda t: jax.tree.map(jnp.copy, t))(
+            trainer.state.params)
+        tr = PretrainTrainer(
+            TrainConfig(lr=3e-5, batch_size=B, gradient_accumulation=ACCUM,
+                        scheduler="warmup_cosine", warmup_steps=500,
+                        fuse_accum=True),
+            model, params_f, meta_loader=None, steps_per_epoch=100,
+            ot_weight=0.1)
+        step = tr._get_task_step("mlm")
+        batch = task_batch("mlm")
+        state = tr.state
+        root = jax.random.PRNGKey(1)
+        for i in range(WARMUP_STEPS):
+            state, losses = step(state, batch, jax.random.fold_in(root, i))
+            np.asarray(losses)
+        t0 = time.perf_counter()
+        for i in range(10):
+            state, losses = step(state, batch,
+                                 jax.random.fold_in(root, 50 + i))
+        np.asarray(losses)
+        return B * ACCUM / ((time.perf_counter() - t0) / 10)
+
+    if isinstance(rates.get("mlm"), float) and \
+            time.monotonic() < budget_end - 60:
+        try:
+            rates["mlm_fused"] = _with_timeout(
+                mlm_fused, max(30, int(budget_end - time.monotonic())))
+        except _Timeout:
+            rates["mlm_fused"] = "timeout"
+    else:
+        rates["mlm_fused"] = "skipped: bench time budget"
     return rates
 
 
 def bench_uniter_large():
-    ucfg = UniterConfig(dtype="bfloat16", **PERF_STORAGE, hidden_size=1024,
-                        num_hidden_layers=24, num_attention_heads=16,
-                        intermediate_size=4096)
-    _, _, step, state, batch = _build_finetune(ucfg)
-    sec = _time_steps(step, state, batch, steps=15, warmup=2)
-    return BATCH * ACCUM / sec
+    """UNITER-large recipe step. Scan accum first (the round-over-round
+    row); the fused shape (see bench_headline) only if budget remains —
+    each is its own 24-layer remote compile, and this row has been lost to
+    compile-window timeouts before (r2)."""
+    budget_end = time.monotonic() + 600 - 30
+
+    def one(fuse):
+        ucfg = UniterConfig(dtype="bfloat16", **PERF_STORAGE,
+                            hidden_size=1024, num_hidden_layers=24,
+                            num_attention_heads=16, intermediate_size=4096)
+        _, _, step, state, batch = _build_finetune(ucfg, fuse_accum=fuse)
+        sec = _time_steps(step, state, batch, steps=15, warmup=2)
+        return BATCH * ACCUM / sec
+
+    out = {"scan_accum_b16x2": one(False)}
+    if time.monotonic() < budget_end - 120:
+        try:
+            out["fused_accum_flat32"] = _with_timeout(
+                lambda: one(True),
+                max(30, int(budget_end - time.monotonic())))
+        except _Timeout:
+            out["fused_accum_flat32"] = "timeout"
+    else:
+        out["fused_accum_flat32"] = "skipped: bench time budget"
+    return out
 
 
 def bench_extraction():

@@ -42,9 +42,8 @@ from meme_challenge_tpu.train.steps import (
 logger = logging.getLogger("meme_challenge_tpu.pretrain")
 
 
-def _task_loss(model: UniterForPretraining, params, batch, task: str,
-               rng, ot_weight: float = 0.0, data=None):
-    """Scalar loss for one task micro-batch (masked means).
+def _task_prepare(model: UniterForPretraining, batch, task: str, data=None):
+    """Per-sample input assembly shared by the scan and fused steps.
 
     ``data``: HBM-resident dataset arrays for index-mode batches — features
     are gathered on device (steps.gather_micro); the host-side task
@@ -72,26 +71,40 @@ def _task_loss(model: UniterForPretraining, params, batch, task: str,
             batch["label_targets"] = jax.nn.one_hot(
                 batch.pop("label_cls"), model.img_label_dim,
                 dtype=jnp.float32)
+    return batch
+
+
+def _task_apply(model: UniterForPretraining, params, batch, task: str, rng):
+    """PER-SAMPLE model outputs for one task — no reductions, so the fused
+    step can run it on a flattened [accum·B] batch and reduce per micro."""
     variables = {"params": params}
     rngs = {"dropout": rng}
+    if task == "itm":
+        # one encoder pass serves both the ITM CE and the OT alignment term
+        return model.apply(variables, batch, deterministic=False, rngs=rngs,
+                           method=UniterForPretraining.forward_itm_with_seq)
+    return model.apply(variables, batch, task, deterministic=False,
+                       rngs=rngs)
+
+
+def _task_reduce(outs, batch, task: str, ot_weight: float = 0.0):
+    """Masked-mean loss reduction over ONE micro-batch's per-sample outputs
+    (the reference tasks' own weighting — pretrain_mlm/mrfr/mrc/itm)."""
     # every task weights by sample_mask: TaskLoader pads the final batch by
     # repeating sample 0, and unmasked padding would train extra copies of
     # that sample (the reference's DataLoader shrinks the last batch instead)
     sm = batch["sample_mask"].astype(jnp.float32)
     if task == "mlm":
-        nll, mask = model.apply(variables, batch, "mlm", deterministic=False,
-                                rngs=rngs)
+        nll, mask = outs
         w = mask * sm[:, None]
         return jnp.sum(nll * sm[:, None]) / jnp.maximum(jnp.sum(w), 1.0)
     if task == "mrfr":
-        err, mask = model.apply(variables, batch, "mrfr",
-                                deterministic=False, rngs=rngs)
+        err, mask = outs
         w = mask.astype(jnp.float32) * sm[:, None]
         denom = jnp.maximum(jnp.sum(w) * err.shape[-1], 1.0)
         return jnp.sum(err * sm[:, None, None]) / denom
     if task.startswith("mrc"):
-        loss, mask = model.apply(variables, batch, task, deterministic=False,
-                                 rngs=rngs)
+        loss, mask = outs
         w = mask.astype(jnp.float32) * sm[:, None]
         if loss.ndim == 3:   # mrc-kl returns per-(region, class) losses
             loss = loss * sm[:, None, None]
@@ -99,15 +112,11 @@ def _task_loss(model: UniterForPretraining, params, batch, task: str,
             loss = loss * sm[:, None]
         return jnp.sum(loss) / jnp.maximum(jnp.sum(w), 1.0)
     if task == "itm":
-        # one encoder pass serves both the ITM CE and the OT alignment term
-        scores, seq = model.apply(
-            variables, batch, deterministic=False, rngs=rngs,
-            method=UniterForPretraining.forward_itm_with_seq)
+        scores, seq = outs
         targets = batch["targets"]
         logp = jax.nn.log_softmax(scores.astype(jnp.float32), -1)
         nll = -jnp.take_along_axis(logp, targets[:, None], axis=-1)[:, 0]
-        m = batch["sample_mask"].astype(jnp.float32)
-        loss = jnp.sum(nll * m) / jnp.maximum(jnp.sum(m), 1.0)
+        loss = jnp.sum(nll * sm) / jnp.maximum(jnp.sum(sm), 1.0)
         if ot_weight > 0.0:
             # OT alignment: positive pairs should have small transport
             # distance, negatives large (margin-free UNITER formulation:
@@ -118,10 +127,18 @@ def _task_loss(model: UniterForPretraining, params, batch, task: str,
             dist = optimal_transport_dist(seq[:, :T], seq[:, T:],
                                           txt_pad, img_pad)
             signed = jnp.where(targets == 1, dist, -dist)
-            loss = loss + ot_weight * jnp.sum(signed * m) / jnp.maximum(
-                jnp.sum(m), 1.0)
+            loss = loss + ot_weight * jnp.sum(signed * sm) / jnp.maximum(
+                jnp.sum(sm), 1.0)
         return loss
     raise ValueError(f"unknown task {task}")
+
+
+def _task_loss(model: UniterForPretraining, params, batch, task: str,
+               rng, ot_weight: float = 0.0, data=None):
+    """Scalar loss for one task micro-batch: prepare → apply → reduce."""
+    batch = _task_prepare(model, batch, task, data)
+    return _task_reduce(_task_apply(model, params, batch, task, rng),
+                        batch, task, ot_weight)
 
 
 class PretrainTrainer:
@@ -171,18 +188,44 @@ class PretrainTrainer:
 
         grad_fn = jax.value_and_grad(loss_fn)
 
+        def fused_loss(params, batch, rng, data):
+            # fuse_accum (steps._train_step_body): one fwd/bwd over the
+            # flattened [accum·B] batch; _task_apply is per-sample, so only
+            # the REDUCTION needs the micro structure — per-micro masked
+            # means (the reference's accumulation weighting) via vmap
+            flat = jax.tree.map(lambda x: x.reshape((-1,) + x.shape[2:]),
+                                batch)
+            flat = _task_prepare(model, flat, task, data)
+            outs = _task_apply(model, params, flat, task, rng)
+
+            def unflat(x):
+                return x.reshape((accum, -1) + x.shape[1:])
+
+            losses = jax.vmap(
+                lambda o, b: _task_reduce(o, b, task, ot_weight))(
+                jax.tree.map(unflat, outs), jax.tree.map(unflat, flat))
+            return jnp.mean(losses), losses
+
+        fused_grad_fn = jax.value_and_grad(fused_loss, has_aux=True)
+        fuse = self.config.fuse_accum and accum > 1
+
         def step(state: TrainState, batch, rng, data=None):
-            rngs = jax.random.split(rng, accum)
+            if fuse:
+                (_, losses), grads = fused_grad_fn(state.params, batch,
+                                                   rng, data)
+            else:
+                rngs = jax.random.split(rng, accum)
 
-            def scan_body(acc, xs):
-                mb, r = xs
-                loss, grads = grad_fn(state.params, mb, r, data)
-                return jax.tree.map(jnp.add, acc, grads), loss
+                def scan_body(acc, xs):
+                    mb, r = xs
+                    loss, grads = grad_fn(state.params, mb, r, data)
+                    return jax.tree.map(jnp.add, acc, grads), loss
 
-            zeros = jax.tree.map(
-                lambda p: jnp.zeros(p.shape, jnp.float32), state.params)
-            grad_acc, losses = jax.lax.scan(scan_body, zeros, (batch, rngs))
-            grads = jax.tree.map(lambda g: g / accum, grad_acc)
+                zeros = jax.tree.map(
+                    lambda p: jnp.zeros(p.shape, jnp.float32), state.params)
+                grad_acc, losses = jax.lax.scan(scan_body, zeros,
+                                                (batch, rngs))
+                grads = jax.tree.map(lambda g: g / accum, grad_acc)
             updates, new_opt = tx.update(grads, state.opt_state, state.params)
             new_params = optax.apply_updates(state.params, updates)
             return TrainState(new_params, new_opt, state.step + 1), losses

@@ -335,3 +335,73 @@ def test_pretrain_device_resident_matches_host(corpus, tmp_path):
     for task in host:
         assert dev[task] == pytest.approx(host[task], abs=2e-5), (
             task, host[task], dev[task])
+
+
+def test_pretrain_fuse_accum_matches_scan(corpus, tmp_path):
+    """fuse_accum in the pretrain driver (one fused fwd/bwd over the
+    flattened [accum·B] task batch, per-micro masked-mean reductions via
+    vmapped _task_reduce) reproduces the accumulation scan pointwise with
+    dropout off — across ALL four task heads (different output/reduction
+    shapes) and in both host-batch and device-resident modes."""
+    from meme_challenge_tpu.models.uniter import UniterForPretraining
+    from meme_challenge_tpu.train.pretrain_driver import PretrainTrainer
+    from meme_challenge_tpu.train.pretrain_init import init_pretrain_params
+    import jax
+
+    ds, tok = corpus
+    ucfg = UniterConfig(vocab_size=tok.vocab_size, hidden_size=32,
+                        num_hidden_layers=2, num_attention_heads=2,
+                        intermediate_size=64, img_dim=32,
+                        max_position_embeddings=32,
+                        hidden_dropout_prob=0.0,
+                        attention_probs_dropout_prob=0.0)
+    model = UniterForPretraining(ucfg, img_label_dim=1601)
+    tcfg = TrainConfig(model_path=str(tmp_path), model_save_name="fu.ckpt",
+                       lr=2e-3, gradient_accumulation=2, max_epoch=1,
+                       warmup_steps=2, scheduler="warmup_cosine",
+                       adam_mu_dtype="float32", adam_nu_dtype="float32")
+
+    def make_loaders(index_batches):
+        return {
+            "mlm": TaskLoader("mlm", ds, 4, MLMBatcher(ds, tok),
+                              index_batches=index_batches),
+            "itm": TaskLoader("itm", ds, 4, ITMBatcher(ds),
+                              needs_indices=True,
+                              index_batches=index_batches),
+            "mrfr": TaskLoader("mrfr", ds, 4, MRFRBatcher(ds),
+                               index_batches=index_batches),
+            "mrc": TaskLoader("mrc", ds, 4, MRCBatcher(ds),
+                              needs_indices=True,
+                              index_batches=index_batches),
+        }
+
+    example = next(iter(TaskLoader("mlm", ds, 4, MLMBatcher(ds, tok))))
+    params = init_pretrain_params(model, jax.random.PRNGKey(0), example)
+
+    def run(fuse, index_batches):
+        random.seed(29)
+        meta = MetaLoader(make_loaders(index_batches), accum_steps=2)
+        data = ds.device_arrays() if index_batches else None
+        trainer = PretrainTrainer(
+            tcfg.replace(fuse_accum=fuse), model,
+            jax.tree.map(np.copy, params), meta,
+            steps_per_epoch=12, data_arrays=data, ot_weight=0.1)
+        losses = trainer.train(total_steps=12, save_checkpoint=False)
+        return trainer, losses
+
+    t_scan, l_scan = run(False, False)
+    t_fused, l_fused = run(True, False)
+    assert set(l_scan) == set(l_fused) >= {"mlm", "itm"}
+    for task in l_scan:
+        assert l_fused[task] == pytest.approx(l_scan[task], abs=5e-5), (
+            task, l_scan[task], l_fused[task])
+    for a, b in zip(jax.tree.leaves(t_scan.state.params),
+                    jax.tree.leaves(t_fused.state.params)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-4)
+
+    # device-resident fused: the flattened gather + in-graph MRFR/MRC
+    # assembly compose with the fused step
+    _, l_dev = run(True, True)
+    for task in l_fused:
+        assert l_dev[task] == pytest.approx(l_fused[task], abs=5e-5), (
+            task, l_fused[task], l_dev[task])
