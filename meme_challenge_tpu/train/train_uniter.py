@@ -68,6 +68,26 @@ def add_train_config_args(parser: argparse.ArgumentParser) -> None:
             parser.add_argument(name, type=typ, default=f.default)
 
 
+def _try_load_flax_params(path: str):
+    """Load a flax-msgpack checkpoint (ModelSaver dump) if ``path`` is one.
+
+    Returns the params tree or ``None`` when the file is not msgpack (e.g.
+    a torch pickle/zip) — format is sniffed by attempting the restore, so
+    both our own pretraining CLI's dumps and the reference's torch ``.pt``
+    files flow through the same ``--pretrained_model_file`` flag."""
+    from flax import serialization
+
+    with open(path, "rb") as f:
+        raw = f.read()
+    try:
+        payload = serialization.msgpack_restore(raw)
+    except Exception:  # noqa: BLE001 — not msgpack: torch pickle/zip
+        return None
+    if not isinstance(payload, dict):
+        return None
+    return payload.get("params", payload)
+
+
 def init_meme_uniter_params(
     model: MemeUniter,
     uniter_config: UniterConfig,
@@ -75,12 +95,15 @@ def init_meme_uniter_params(
     rng: jax.Array,
     example_batch: dict,
 ):
-    """Initialize params, optionally from a torch checkpoint.
+    """Initialize params, optionally from a checkpoint.
 
     Mirrors reference TrainerUniter.init_model/load_model
     (train_uniter.py:22-53): ``pretrained_model_file`` loads a raw UNITER
-    pretraining dump (trunk only, classifier stays random);
-    a fine-tuned MemeUniter dump restores everything.
+    pretraining dump (trunk only, classifier stays random); a fine-tuned
+    MemeUniter dump restores everything. Accepts BOTH the reference's
+    torch dumps and this build's flax-msgpack ModelSaver files — in
+    particular the output of ``train.pretrain_uniter``, closing the
+    pretrain → fine-tune handoff the reference README describes.
     """
     params = model.init(rng, example_batch, deterministic=True)["params"]
     path = train_config.pretrained_model_file
@@ -88,6 +111,14 @@ def init_meme_uniter_params(
         full_path = (path if os.path.isfile(path)
                      else os.path.join(train_config.model_path, path))
         logger.info("Loading pretrained UNITER weights from %s", full_path)
+        flax_params = _try_load_flax_params(full_path)
+        if flax_params is not None:
+            params = dict(params)
+            if "classifier" in flax_params:   # fine-tuned MemeUniter dump
+                params.update(flax_params)
+            else:                             # pretraining dump: trunk only
+                params["uniter"] = flax_params["uniter"]
+            return params
         sd = load_torch_state_dict(full_path)
         if any(k.startswith("uniter_model.") for k in sd):
             loaded = meme_uniter_params_from_torch(sd, uniter_config)

@@ -405,3 +405,82 @@ def test_pretrain_fuse_accum_matches_scan(corpus, tmp_path):
     for task in l_fused:
         assert l_dev[task] == pytest.approx(l_fused[task], abs=5e-5), (
             task, l_fused[task], l_dev[task])
+
+
+def test_parse_tasks():
+    from meme_challenge_tpu.train.pretrain_uniter import parse_tasks
+
+    assert parse_tasks("mlm:2,itm,mrfr,mrc-kl") == {
+        "mlm": 2, "itm": 1, "mrfr": 1, "mrc-kl": 1}
+    assert parse_tasks("mlm") == {"mlm": 1}
+    with pytest.raises(ValueError):
+        parse_tasks("mlm,bogus")
+
+
+def test_pretrain_cli_and_finetune_handoff(synth, tmp_path):
+    """The shipped pretraining CLI runs end-to-end (device-resident, all
+    four tasks, IPOT on ITM) and its flax-msgpack trunk dump feeds straight
+    into train_uniter --pretrained_model_file — the pretrain → fine-tune
+    handoff the reference README describes (README.md:25-33) with torch
+    checkpoints."""
+    import json
+    import os
+
+    import jax
+
+    from meme_challenge_tpu.train import pretrain_uniter, train_uniter
+
+    cfg_json = str(tmp_path / "tiny.json")
+    with open(cfg_json, "w") as f:
+        json.dump({"vocab_size": 64, "hidden_size": 32,
+                   "num_hidden_layers": 2, "num_attention_heads": 2,
+                   "intermediate_size": 64, "img_dim": 32,
+                   "max_position_embeddings": 32}, f)
+    ck = str(tmp_path / "ck")
+    common = ["--data_path", synth["root"],
+              "--feature_path", synth["feature_dir"],
+              "--model_path", ck, "--vocab_file", synth["vocab"],
+              "--uniter_config", cfg_json, "--batch_size", "8",
+              "--gradient_accumulation", "2", "--lr", "3e-3",
+              "--warmup_steps", "2", "--max_txt_len", "12",
+              "--max_bb", "10", "--seed", "43"]
+
+    losses = pretrain_uniter.main(
+        common + ["--model_save_name", "pre.ckpt", "--max_epoch", "1",
+                  "--tasks", "mlm:2,itm,mrfr,mrc-kl", "--ot_weight", "0.1",
+                  "--device_resident_data"])
+    assert {"mlm"} <= set(losses) <= {"mlm", "itm", "mrfr", "mrc-kl"}
+    assert all(np.isfinite(v) for v in losses.values())
+    assert os.path.isfile(os.path.join(ck, "pre.ckpt"))
+    assert os.path.isfile(os.path.join(ck, "log", "hps.json"))
+
+    # the trunk transfers: init_meme_uniter_params must pick the flax path
+    from meme_challenge_tpu.core.config import TrainConfig as TC
+    from meme_challenge_tpu.core.config import UniterConfig as UC
+    from meme_challenge_tpu.models.uniter import MemeUniter
+
+    ucfg = UC.from_json_file(cfg_json)
+    model = MemeUniter(ucfg, n_classes=1)
+    tcfg = TC(model_path=ck, pretrained_model_file="pre.ckpt")
+    example = {
+        "input_ids": np.zeros((2, 12), np.int32),
+        "position_ids": np.tile(np.arange(12, dtype=np.int32), (2, 1)),
+        "img_feat": np.zeros((2, 10, 32), np.float32),
+        "img_pos_feat": np.zeros((2, 10, 7), np.float32),
+        "txt_mask": np.ones((2, 12), np.int32),
+        "img_mask": np.ones((2, 10), np.int32),
+    }
+    fresh = model.init(jax.random.PRNGKey(0), example,
+                       deterministic=True)["params"]
+    loaded = train_uniter.init_meme_uniter_params(
+        model, ucfg, tcfg, jax.random.PRNGKey(0), example)
+    # trunk weights come from the pretraining dump (differ from fresh init)
+    a = np.asarray(jax.tree.leaves(fresh["uniter"])[0])
+    b = np.asarray(jax.tree.leaves(loaded["uniter"])[0])
+    assert not np.allclose(a, b), "trunk was not transferred"
+
+    # full fine-tune CLI run consuming the pretrained trunk
+    val = train_uniter.main(
+        common + ["--model_save_name", "ft.ckpt", "--max_epoch", "1",
+                  "--patience", "2", "--pretrained_model_file", "pre.ckpt"])
+    assert os.path.isfile(os.path.join(ck, "ft.ckpt"))
