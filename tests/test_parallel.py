@@ -297,3 +297,43 @@ def test_unequal_fold_loader_batch_counts_rejected():
     _check_equal_batch_counts([L(3), L(3)], "val")  # equal: fine
     with pytest.raises(ValueError, match="unequal batch counts"):
         _check_equal_batch_counts([L(3), L(4)], "val")
+
+
+def test_fold_mesh_fused_accum_matches_scan(synth, tmp_path):
+    """fuse_accum on a fold×data mesh: the fused fold update (one fwd/bwd
+    over the flattened [accum·B] batch per fold) composes with vmap over
+    the fold axis and mesh sharding, and reproduces the scan-accum mesh
+    run pointwise with dropout off."""
+    import dataclasses
+
+    n_folds = 2
+    ucfg = dataclasses.replace(UCFG, hidden_dropout_prob=0.0,
+                               attention_probs_dropout_prob=0.0)
+    model = MemeUniter(ucfg, n_classes=1)
+    mesh = make_mesh((2, 4), ("fold", "data"))
+
+    def run(fuse):
+        from meme_challenge_tpu.core.seeding import set_seed
+
+        set_seed(11)  # identical shuffle streams for both runs
+        train_loaders, val_loaders = _loaders(synth, n_folds)
+        example = next(iter(val_loaders[0]))
+        example.pop("ids")
+        keys = jax.random.split(jax.random.PRNGKey(5), n_folds)
+        params_stacked = jax.vmap(
+            lambda k: model.init(k, example, deterministic=True)["params"])(
+            keys)
+        cfg = TrainConfig(model_path=str(tmp_path), lr=3e-3, batch_size=8,
+                          max_epoch=2, patience=5, gradient_accumulation=2,
+                          warmup_steps=2, seed=0, fuse_accum=fuse)
+        trainer = FoldParallelTrainer(cfg, model, params_stacked,
+                                      train_loaders, val_loaders, mesh=mesh)
+        metrics = trainer.train_main()
+        probs, _ = trainer.predict_folds(val_loaders)
+        return metrics, probs
+
+    scan_metrics, scan_probs = run(False)
+    fused_metrics, fused_probs = run(True)
+    for ms, mf in zip(scan_metrics, fused_metrics):
+        assert mf["aucroc"] == pytest.approx(ms["aucroc"], abs=1e-4)
+    np.testing.assert_allclose(fused_probs[0], scan_probs[0], atol=5e-5)
