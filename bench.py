@@ -109,16 +109,27 @@ def _probe_until_reachable(sleeps=PROBE_BACKOFF_S):
     """Probe the relay with backoff until it answers or the schedule ends.
 
     Returns ``(ok, detail, waited_s)``; ``waited_s`` is recorded in the
-    artifact so a capture that survived an outage says so."""
+    artifact so a capture that survived an outage says so.
+
+    The full backoff is reserved for HANGS (the observed outage shape —
+    the PJRT handshake blocks in C). A probe that EXITS nonzero is usually
+    deterministic breakage (bad env, import error) that no amount of
+    sleeping heals, so three consecutive exit-failures end the schedule
+    early instead of wasting the whole ~54 min budget."""
     t0 = time.monotonic()
     ok, detail = _device_backend_reachable()
     if ok:
         return True, "", 0.0
+    exit_fails = 1 if detail.startswith("probe exited") else 0
     for s in sleeps:
+        if exit_fails >= 3:
+            break
         time.sleep(s)
         ok, detail = _device_backend_reachable()
         if ok:
             return True, "", time.monotonic() - t0
+        exit_fails = (exit_fails + 1 if detail.startswith("probe exited")
+                      else 0)
     return False, detail, time.monotonic() - t0
 
 
@@ -634,6 +645,10 @@ def bench_pretrain():
                 mlm_fused, max(30, int(budget_end - time.monotonic())))
         except _Timeout:
             rates["mlm_fused"] = "timeout"
+        except Exception as e:  # noqa: BLE001 — e.g. "Array has been
+            # deleted" when an earlier task's alarm fired mid-donating-step;
+            # the already-measured task rates above must survive
+            rates["mlm_fused"] = f"error: {type(e).__name__}: {e}"[:200]
     else:
         rates["mlm_fused"] = "skipped: bench time budget"
     return rates
@@ -805,7 +820,12 @@ def main():
         if ok:
             if rewait:
                 extras["salvage_waited_min"] = round(rewait / 60, 1)
-            if headline <= 0.0 or headline_err is not None:
+            if headline <= 0.0 or headline_err is not None or \
+                    any(_bad(v) for v in
+                        extras.get("headline_variants", {}).values()):
+                # an errored VARIANT (e.g. fused timed out while scan
+                # landed) is retried too, keeping both rows numeric when
+                # the relay recovered
                 headline, headline_err, headline_detail = _run_headline()
                 extras["headline_variants"] = headline_detail
             for name, fn, budget, retries in EXTRA_TABLE:

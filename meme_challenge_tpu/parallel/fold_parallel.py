@@ -45,6 +45,7 @@ from meme_challenge_tpu.train.optim import make_optimizer
 from meme_challenge_tpu.train.schedules import make_schedule
 from meme_challenge_tpu.train.steps import (
     TrainState,
+    _train_step_body,
     chunk_batches,
     eval_chain_token,
     fetch_all,
@@ -241,65 +242,18 @@ class FoldParallelTrainer:
             b["indices"] = jnp.take(trans_f, batch["indices"], axis=0)
             return gather_micro(shared, b)
 
-        def micro_loss(params, micro_batch, rng, data):
-            if gather:
-                micro_batch = fold_gather(data, micro_batch)
-            logits = model.apply({"params": params}, micro_batch,
-                                 deterministic=False, rngs={"dropout": rng})
-            loss, probs = loss_fn(logits, micro_batch["labels"],
-                                  micro_batch["sample_mask"])
-            return loss, probs
+        def apply_train(params, micro_batch, rng):
+            return model.apply({"params": params}, micro_batch,
+                               deterministic=False, rngs={"dropout": rng})
 
-        grad_fn = jax.value_and_grad(micro_loss, has_aux=True)
-
-        def fused_loss(params, batch, rng, data):
-            # fuse_accum (steps._train_step_body): one fwd/bwd over the
-            # flattened [accum·B] fold batch; loss stays the mean of
-            # per-micro masked means (exact accumulation semantics)
-            flat = jax.tree.map(lambda x: x.reshape((-1,) + x.shape[2:]),
-                                batch)
-            if gather:
-                flat = fold_gather(data, flat)
-            logits = model.apply({"params": params}, flat,
-                                 deterministic=False, rngs={"dropout": rng})
-
-            def unflat(x):
-                return x.reshape((accum, -1) + x.shape[1:])
-
-            losses, probs = jax.vmap(loss_fn)(unflat(logits),
-                                              unflat(flat["labels"]),
-                                              unflat(flat["sample_mask"]))
-            return jnp.mean(losses), (losses, probs)
-
-        fused_grad_fn = jax.value_and_grad(fused_loss, has_aux=True)
-
-        def fold_update(state: TrainState, batch, rng, data):
-            if c.fuse_accum and accum > 1:
-                (_, (losses, probs)), grads = fused_grad_fn(
-                    state.params, batch, rng, data)
-                updates, new_opt = tx.update(grads, state.opt_state,
-                                             state.params)
-                new_params = optax.apply_updates(state.params, updates)
-                return (TrainState(new_params, new_opt, state.step + 1),
-                        {"loss": losses, "probs": probs})
-
-            rngs = jax.random.split(rng, accum)
-
-            def scan_body(grad_acc, xs):
-                micro_batch, micro_rng = xs
-                (loss, probs), grads = grad_fn(state.params, micro_batch,
-                                               micro_rng, data)
-                return jax.tree.map(jnp.add, grad_acc, grads), (loss, probs)
-
-            zeros = jax.tree.map(
-                lambda p: jnp.zeros(p.shape, jnp.float32), state.params)
-            grad_acc, (losses, probs) = jax.lax.scan(
-                scan_body, zeros, (batch, rngs))
-            grads = jax.tree.map(lambda g: g / accum, grad_acc)
-            updates, new_opt = tx.update(grads, state.opt_state, state.params)
-            new_params = optax.apply_updates(state.params, updates)
-            return (TrainState(new_params, new_opt, state.step + 1),
-                    {"loss": losses, "probs": probs})
+        # ONE accumulation body shared with the sequential Trainer
+        # (steps._train_step_body: seeded-accumulator scan or fuse_accum's
+        # single fused fwd/bwd with per-micro masked-mean loss weighting);
+        # the fold-table gather rides in as the custom gather callable
+        fold_update = _train_step_body(
+            apply_train, loss_fn, tx, accum,
+            gather_data=(fold_gather if gather else False),
+            fuse_accum=c.fuse_accum)
 
         vm = jax.vmap(fold_update, in_axes=(0, 0, 0, data_axis))
         self._train_step = jax.jit(vm, donate_argnums=(0,))

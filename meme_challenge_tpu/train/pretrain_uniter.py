@@ -142,9 +142,11 @@ def main(argv=None):
 
     cfg_dict = {f.name: getattr(args, f.name)
                 for f in dataclasses.fields(TrainConfig)
-                if hasattr(args, f.name) and f.name not in
-                ("mesh_shape", "mesh_axes")}
+                if hasattr(args, f.name)}
     config = TrainConfig(**cfg_dict)
+    if config.mesh_shape:
+        logger.warning("--mesh_shape is not used by the pretraining driver "
+                       "(single-chip loop); ignoring %s", config.mesh_shape)
     uniter_config = (UniterConfig.from_json_file(args.uniter_config)
                      if args.uniter_config else UniterConfig())
     if args.compute_bf16:
@@ -187,10 +189,21 @@ def main(argv=None):
         full = (path if os.path.isfile(path)
                 else os.path.join(config.model_path, path))
         logger.info("warm-starting from %s", full)
-        loaded = pretrain_params_from_torch(load_torch_state_dict(full),
-                                            uniter_config)
+        from meme_challenge_tpu.train.train_uniter import (
+            _try_load_flax_params,
+        )
+
+        flax_params = _try_load_flax_params(full)
         params = dict(params)
-        params["uniter"] = loaded["uniter"]
+        if flax_params is not None:
+            if "classifier" in flax_params:  # fine-tuned MemeUniter dump
+                params["uniter"] = flax_params["uniter"]
+            else:  # a previous pretraining dump: resume the full head tree
+                params.update(flax_params)
+        else:  # reference torch checkpoint
+            loaded = pretrain_params_from_torch(load_torch_state_dict(full),
+                                                uniter_config)
+            params["uniter"] = loaded["uniter"]
 
     steps_per_epoch = args.steps_per_epoch or max(
         1, math.ceil(len(dataset) / config.batch_size))

@@ -96,7 +96,15 @@ def make_train_step(
 def _train_step_body(model_apply, loss_fn, tx, accum_steps, gather_data,
                      fuse_accum=False):
     """The raw (un-jitted) one-optimizer-step function shared by
-    :func:`make_train_step` and :func:`make_train_multi_step`.
+    :func:`make_train_step`, :func:`make_train_multi_step` and (vmapped
+    over the fold axis) the fold-parallel trainer.
+
+    ``gather_data`` is ``False`` (batch is the model input), ``True``
+    (device-resident: assemble micro-batches via :func:`gather_micro`), or
+    a CALLABLE ``(data, batch) → batch`` for custom device-resident
+    layouts — FoldParallelTrainer passes its shared-corpus + per-fold
+    row-table gather here so both trainers share ONE accumulation body
+    (scan and fused).
 
     ``fuse_accum=True`` computes the accumulated gradient as ONE fused
     forward/backward over the flattened ``[accum·micro_bs, ...]`` batch
@@ -115,9 +123,16 @@ def _train_step_body(model_apply, loss_fn, tx, accum_steps, gather_data,
     per-activation masks stay independent either way).
     """
 
+    if callable(gather_data):
+        gather_fn = gather_data
+    elif gather_data:
+        gather_fn = gather_micro
+    else:
+        gather_fn = None
+
     def micro_loss(params, micro_batch, rng, data):
-        if gather_data:
-            micro_batch = gather_micro(data, micro_batch)
+        if gather_fn is not None:
+            micro_batch = gather_fn(data, micro_batch)
         logits = model_apply(params, micro_batch, rng)
         loss, probs = loss_fn(logits, micro_batch["labels"],
                               micro_batch["sample_mask"])
@@ -130,8 +145,8 @@ def _train_step_body(model_apply, loss_fn, tx, accum_steps, gather_data,
         # whole effective batch (indices flatten the same way, so the
         # device-resident gather is one fused take too)
         flat = jax.tree.map(lambda x: x.reshape((-1,) + x.shape[2:]), batch)
-        if gather_data:
-            flat = gather_micro(data, flat)
+        if gather_fn is not None:
+            flat = gather_fn(data, flat)
         logits = model_apply(params, flat, rng)
 
         def unflat(x):

@@ -45,9 +45,20 @@ from meme_challenge_tpu.train.trainer import Trainer
 logger = logging.getLogger("meme_challenge_tpu.train_uniter")
 
 
+def _parse_mesh_shape(s: str) -> tuple:
+    return tuple(int(x) for x in str(s).split(",") if x.strip())
+
+
+def _parse_mesh_axes(s: str) -> tuple:
+    return tuple(x.strip() for x in str(s).split(",") if x.strip())
+
+
 def add_train_config_args(parser: argparse.ArgumentParser) -> None:
     """All TrainConfig fields as flags (reference add_default_argparse +
-    train_uniter.py extras)."""
+    train_uniter.py extras). The mesh flags parse straight to the tuples
+    TrainConfig declares, so EVERY CLI built on this helper gets typed
+    values (a raw string here used to leak into the config of the text /
+    hatespeech / object-text / oscar entry points)."""
     for f in dataclasses.fields(TrainConfig):
         name = "--" + f.name
         if f.type == "bool" or isinstance(f.default, bool):
@@ -56,12 +67,13 @@ def add_train_config_args(parser: argparse.ArgumentParser) -> None:
             parser.add_argument(name, action=argparse.BooleanOptionalAction,
                                 default=f.default)
         elif f.name == "mesh_shape":
-            parser.add_argument(name, type=str, default="",
+            parser.add_argument(name, type=_parse_mesh_shape, default=(),
                                 help='device mesh, e.g. "4,2" (with a fold '
                                      "axis this routes to the fold-parallel "
                                      "crossval driver)")
         elif f.name == "mesh_axes":
-            parser.add_argument(name, type=str, default="fold,data",
+            parser.add_argument(name, type=_parse_mesh_axes,
+                                default=("fold", "data"),
                                 help='mesh axis names, e.g. "fold,data"')
         else:
             typ = (type(f.default) if f.default is not None else str)
@@ -208,12 +220,6 @@ def main(argv=None):
     cfg_dict = {f.name: getattr(args, f.name)
                 for f in dataclasses.fields(TrainConfig)
                 if hasattr(args, f.name)}
-    cfg_dict["mesh_shape"] = tuple(
-        int(x) for x in str(cfg_dict.get("mesh_shape") or "").split(",")
-        if x.strip())
-    cfg_dict["mesh_axes"] = tuple(
-        x.strip() for x in str(cfg_dict.get("mesh_axes")
-                               or "fold,data").split(",") if x.strip())
     config = TrainConfig(**cfg_dict)
     uniter_config = (UniterConfig.from_json_file(args.uniter_config)
                      if args.uniter_config else UniterConfig())
@@ -227,10 +233,13 @@ def main(argv=None):
     set_seed(config.seed)
     loader_funcs, test_loaders, trainer_factory = build_entry(
         config, uniter_config, args.vocab_file)
-    if config.mesh_shape and "fold" in config.mesh_axes:
+    if config.mesh_shape and "fold" in config.mesh_axes \
+            and config.num_folds != 0:
         # --mesh_shape 4,2 --mesh_axes fold,data → all folds train
         # SIMULTANEOUSLY on the mesh (parallel/crossval_parallel.py); the
-        # sequential driver below remains the single-chip default
+        # sequential driver below remains the single-chip default.
+        # num_folds == 0 ("default split", no crossval) has no fold axis to
+        # shard — it falls through to the sequential single-split driver
         from meme_challenge_tpu.parallel.crossval_parallel import (
             train_crossval_fold_parallel,
         )
@@ -252,6 +261,9 @@ def main(argv=None):
             resume_path=(os.path.join(config.model_path,
                                       "crossval_resume.msgpack")
                          if not config.no_model_checkpoints else None))
+    if config.mesh_shape and "fold" in config.mesh_axes:
+        logger.warning("--mesh_shape given but num_folds=0 (no crossval): "
+                       "falling back to the sequential single-split driver")
     return train_crossval(
         trainer_factory, config, loader_funcs, test_loaders,
         num_folds=config.num_folds, dev_size=config.crossval_dev_size,

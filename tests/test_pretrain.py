@@ -484,3 +484,14 @@ def test_pretrain_cli_and_finetune_handoff(synth, tmp_path):
         common + ["--model_save_name", "ft.ckpt", "--max_epoch", "1",
                   "--patience", "2", "--pretrained_model_file", "pre.ckpt"])
     assert os.path.isfile(os.path.join(ck, "ft.ckpt"))
+
+    # warm-start RESUME: pretrain_uniter accepts its own flax dump too
+    # (full head tree restored, torch path never touched)
+    flax_tree = train_uniter._try_load_flax_params(
+        os.path.join(ck, "pre.ckpt"))
+    assert flax_tree is not None and "uniter" in flax_tree
+    resumed = pretrain_uniter.main(
+        common + ["--model_save_name", "pre2.ckpt", "--max_epoch", "1",
+                  "--steps_per_epoch", "2", "--tasks", "mlm",
+                  "--pretrained_model_file", "pre.ckpt"])
+    assert all(np.isfinite(v) for v in resumed.values())
