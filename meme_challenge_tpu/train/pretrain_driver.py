@@ -17,7 +17,10 @@ weights). This module supplies that missing capability, TPU-native:
 """
 from __future__ import annotations
 
+import json
 import logging
+import os
+import random
 import time
 from typing import Callable, Dict, Optional
 
@@ -172,6 +175,10 @@ class PretrainTrainer:
         self.root_rng = prng_key(c.seed)
         self._task_steps: Dict[str, Callable] = {}
         self._task_multi_steps: Dict[str, Callable] = {}
+        # kill-and-resume bookkeeping (save_checkpoint/load_checkpoint):
+        # host-RNG state at stream creation + micro-draws consumed since
+        self._stream_rng0 = (random.getstate(), np.random.get_state())
+        self._consumed_micros = 0
         self.saver = ModelSaver(
             f"{c.model_path}/{c.model_save_name}")
 
@@ -257,19 +264,111 @@ class PretrainTrainer:
                 multi, donate_argnums=(0,))
         return self._task_multi_steps[task]
 
+    def save_checkpoint(self, path: str, next_step: int) -> None:
+        """Atomic full-state checkpoint (params + optimizer + step) with a
+        host-RNG sidecar — mid-run kill-and-resume for long pretraining
+        runs, which the final ModelSaver dump alone cannot provide.
+
+        Restoring the FINAL host-RNG state is not enough here: the
+        MetaLoader's TaskLoaders are mid-epoch iterators (a shuffled pass
+        each), and their positions are not RNG state. The sidecar instead
+        records the RNG states AT STREAM CREATION plus the number of
+        micro-batch draws consumed; resume re-seeds to the origin and
+        replays that many ``next()`` calls — identical draws reproduce
+        both the iterator positions and the RNG state."""
+        from flax import serialization
+
+        payload = {
+            "params": jax.device_get(self.state.params),
+            "opt_state": jax.device_get(self.state.opt_state),
+            "step": int(self.state.step),
+            "next_step": int(next_step),
+        }
+        os.makedirs(os.path.dirname(os.path.abspath(path)), exist_ok=True)
+        tmp = path + ".tmp"
+        with open(tmp, "wb") as f:
+            f.write(serialization.to_bytes(payload))
+        os.replace(tmp, path)  # atomic: a kill mid-write keeps the old file
+        py_state, np_state = self._stream_rng0
+        with open(path + ".meta.json.tmp", "w") as f:
+            json.dump({
+                "stream_py_rng": [py_state[0], list(py_state[1]),
+                                  py_state[2]],
+                "stream_np_rng": [np_state[0],
+                                  np.asarray(np_state[1]).tolist(),
+                                  int(np_state[2]), int(np_state[3]),
+                                  float(np_state[4])],
+                "consumed_micros": int(self._consumed_micros),
+            }, f)
+        os.replace(path + ".meta.json.tmp", path + ".meta.json")
+
+    def load_checkpoint(self, path: str) -> int:
+        """Restore a :meth:`save_checkpoint` dump; returns the next
+        optimizer step to run. Sets ``_stream_rng0``/``_consumed_micros``
+        so :meth:`train` can replay the batch stream to its position.
+        Dropout-RNG continuity is automatic: the per-step stream derives
+        from ``fold_in(root, state.step)`` and ``state.step`` is
+        restored."""
+        from flax import serialization
+
+        template = {
+            "params": self.state.params,
+            "opt_state": self.state.opt_state,
+            "step": 0,
+            "next_step": 0,
+        }
+        with open(path, "rb") as f:
+            payload = serialization.from_bytes(template, f.read())
+        self.state = TrainState(params=payload["params"],
+                                opt_state=payload["opt_state"],
+                                step=jnp.asarray(payload["step"],
+                                                 jnp.int32))
+        meta = path + ".meta.json"
+        with open(meta) as f:
+            m = json.load(f)
+        v, st, gauss = m["stream_py_rng"]
+        py_state = (v, tuple(st), gauss)
+        name, keys, pos, has_g, cached = m["stream_np_rng"]
+        np_state = (name, np.asarray(keys, np.uint32), pos, has_g, cached)
+        self._stream_rng0 = (py_state, np_state)
+        self._consumed_micros = int(m["consumed_micros"])
+        return int(payload["next_step"])
+
     def train(self, total_steps: Optional[int] = None,
               log_every: Optional[int] = None,
-              save_checkpoint: bool = True):
+              save_checkpoint: bool = True,
+              checkpoint_path: Optional[str] = None,
+              checkpoint_every: Optional[int] = None):
         """Run ``total_steps`` optimizer steps (default: steps_per_epoch ×
         max_epoch). Returns {task: mean loss over the last epoch}.
 
         ``log_every`` sets the loss-fetch cadence (default total//10) — each
         fetch is the loop's only host sync. ``save_checkpoint=False`` skips
-        the final ModelSaver dump (benchmark loops)."""
+        the final ModelSaver dump (benchmark loops).
+
+        ``checkpoint_path`` enables mid-run kill-and-resume: an existing
+        file there is loaded (full state + host RNGs) and training resumes
+        at its recorded step; a fresh full-state checkpoint is written
+        every ``checkpoint_every`` steps (default: one nominal epoch)."""
         c = self.config
         accum = c.gradient_accumulation
         total = total_steps or (self.steps_per_epoch * c.max_epoch)
         cadence = log_every or max(1, total // 10)
+        ckpt_cadence = checkpoint_every or self.steps_per_epoch
+        start_step, replay = 0, 0
+        if checkpoint_path and os.path.isfile(checkpoint_path):
+            start_step = self.load_checkpoint(checkpoint_path)
+            # re-seed to the ORIGINAL run's stream origin; the draws are
+            # replayed below so loader positions + RNG state both line up
+            random.setstate(self._stream_rng0[0])
+            np.random.set_state(self._stream_rng0[1])
+            replay = self._consumed_micros
+            logger.info("resuming pretraining from %s at step %i "
+                        "(replaying %i micro-draws)",
+                        checkpoint_path, start_step, replay)
+        else:
+            self._stream_rng0 = (random.getstate(), np.random.get_state())
+            self._consumed_micros = 0
         # (task, DEVICE loss buffer) per dispatch — kept in-flight so the
         # async dispatch overlaps host batch assembly (incl. the vectorized
         # MLM masking, data/pretrain.py) with device compute; a per-step
@@ -278,6 +377,8 @@ class PretrainTrainer:
         step_log: list = []
         fetched: Dict[str, list] = {}
         stream = iter(self.meta_loader)
+        for _ in range(replay):  # fast-forward to the checkpoint's position
+            next(stream)
         t0 = time.time()
         # opportunistic chunking: CONSECUTIVE same-task groups share one
         # dispatch (lax.scan over steps) — the MetaLoader switches tasks
@@ -331,7 +432,7 @@ class PretrainTrainer:
                     next_idx += 1
             pending, pending_task = [], None
 
-        for opt_step in range(total):
+        for opt_step in range(start_step, total):
             group, task = [], None
             for _ in range(accum):
                 task_i, batch = next(stream)
@@ -340,6 +441,7 @@ class PretrainTrainer:
                     "accumulation group")
                 task = task_i
                 group.append(batch)
+            self._consumed_micros += accum
             # host-side stack; leaves upload inside the one step dispatch
             # (per-leaf jnp ops cost ~3 relay RTs each — see
             # steps.stack_for_accum)
@@ -359,8 +461,14 @@ class PretrainTrainer:
                          for t, v in fetched.items()}
                 logger.info("pretrain step %i/%i losses=%s (%.1fs)",
                             opt_step + 1, total, means, time.time() - t0)
+            if checkpoint_path and (opt_step + 1) % ckpt_cadence == 0 \
+                    and opt_step + 1 < total:
+                flush()  # state must reflect every dispatched step
+                self.save_checkpoint(checkpoint_path, opt_step + 1)
         flush()
         drain()
+        if checkpoint_path:
+            self.save_checkpoint(checkpoint_path, total)
         if save_checkpoint:
             self.saver.save(self.state.params)
         return {t: float(np.mean(v[-self.steps_per_epoch:]))

@@ -127,6 +127,10 @@ def main(argv=None):
     parser.add_argument("--steps_per_epoch", type=int, default=0,
                         help="optimizer steps per nominal epoch (0 = one "
                              "pass of the merged corpus)")
+    parser.add_argument("--checkpoint_every", type=int, default=0,
+                        help="full-state resume checkpoint cadence in "
+                             "optimizer steps (0 = once per nominal epoch; "
+                             "resume is automatic when the file exists)")
     parser.add_argument("--compute_bf16", action="store_true",
                         help="bfloat16 compute dtype (TPU MXU fast path); "
                              "also enables bf16 attention-score storage and "
@@ -212,7 +216,10 @@ def main(argv=None):
         ot_weight=args.ot_weight,
         data_arrays=(dataset.device_arrays()
                      if config.device_resident_data else None))
-    losses = trainer.train()
+    ckpt_path = (None if config.no_model_checkpoints else
+                 os.path.join(config.model_path, "pretrain_resume.msgpack"))
+    losses = trainer.train(checkpoint_path=ckpt_path,
+                           checkpoint_every=args.checkpoint_every or None)
     logger.info("final-epoch mean losses: %s",
                 {t: round(v, 4) for t, v in sorted(losses.items())})
     logger.info("pretrained trunk saved to %s/%s — fine-tune with "
