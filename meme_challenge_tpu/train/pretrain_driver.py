@@ -33,7 +33,7 @@ from meme_challenge_tpu.core.config import TrainConfig, UniterConfig
 from meme_challenge_tpu.core.seeding import prng_key
 from meme_challenge_tpu.models.ot import optimal_transport_dist
 from meme_challenge_tpu.models.uniter import UniterForPretraining
-from meme_challenge_tpu.train.checkpoint import ModelSaver, save_train_state
+from meme_challenge_tpu.train.checkpoint import ModelSaver
 from meme_challenge_tpu.train.optim import make_optimizer
 from meme_challenge_tpu.train.schedules import make_schedule
 from meme_challenge_tpu.train.steps import (
