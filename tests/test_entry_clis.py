@@ -94,3 +94,64 @@ def test_object_text_cli_end_to_end(tmp_path, tiny_bert):
         "--obj_swap_prob", "0.3"])
     assert "aucroc" in best_val and np.isfinite(best_val["aucroc"])
     assert (tmp_path / "ck" / "ot.ckpt").exists()
+
+
+def test_extract_features_cli_modes_and_resume(tmp_path, monkeypatch):
+    """The extraction CLI (reference extract_features.py:41-130): mode 2
+    bbox export, mode 3 features-from-gt-bbox (the two-stage recipe,
+    subrepo README.md:10-21), mode 1 full export, and the npz-exists
+    resumable skip (reference :92-93)."""
+    PIL = pytest.importorskip("PIL.Image")
+    from meme_challenge_tpu.extract import extract_features
+    from meme_challenge_tpu.extract.detector import DetectorConfig
+
+    def small_cfg(**kw):
+        kw.update(pre_nms_topk=200, post_nms_topk=20,
+                  min_size=64, max_size=96)
+        return DetectorConfig(**kw)
+
+    monkeypatch.setattr(extract_features, "DetectorConfig", small_cfg)
+
+    img_dir = tmp_path / "imgs"
+    img_dir.mkdir()
+    rng = np.random.RandomState(0)
+    for name in ("01234.png", "01235.jpg"):
+        PIL.fromarray(rng.randint(0, 255, (64, 80, 3), np.uint8)).save(
+            img_dir / name)
+
+    base = ["--image-dir", str(img_dir), "--min-boxes", "3",
+            "--max-boxes", "6", "--conf-thresh", "0.0"]
+
+    # mode 2: bbox-only npz
+    bbox_dir = tmp_path / "bbox"
+    extract_features.main(base + ["--out-dir", str(bbox_dir), "--mode", "2"])
+    for stem in ("01234", "01235"):
+        with np.load(bbox_dir / f"{stem}.npz") as z:
+            assert set(z.files) >= {"bbox", "cls_prob"}
+            assert z["bbox"].shape[1] == 4
+
+    # mode 3: features from the mode-2 boxes
+    feat3_dir = tmp_path / "feat3"
+    extract_features.main(base + ["--out-dir", str(feat3_dir), "--mode", "3",
+                                  "--bbox-dir", str(bbox_dir)])
+    with np.load(feat3_dir / "01234.npz", allow_pickle=True) as z3, \
+            np.load(bbox_dir / "01234.npz") as zb:
+        assert z3["x"].shape[0] == int(z3["num_bbox"])
+        assert int(z3["num_bbox"]) == len(zb["bbox"])
+
+    # mode 1: full dynamic-box export + resumable skip on rerun
+    feat_dir = tmp_path / "feat"
+    extract_features.main(base + ["--out-dir", str(feat_dir), "--mode", "1"])
+    out = feat_dir / "01234.npz"
+    with np.load(out, allow_pickle=True) as z:
+        assert set(z.files) >= {"x", "bbox", "num_bbox",
+                                "image_h", "image_w", "info"}
+        assert int(z["image_h"]) == 64 and int(z["image_w"]) == 80
+        # random-init RPN may keep as few as 1 proposal; the clamp only
+        # bounds ABOVE (min_boxes can't invent boxes beyond proposals)
+        assert 1 <= int(z["num_bbox"]) <= 6
+        assert z["x"].shape[0] == int(z["num_bbox"])
+        assert len(z["info"].item()["objects_id"]) == int(z["num_bbox"])
+    mtime = out.stat().st_mtime_ns
+    extract_features.main(base + ["--out-dir", str(feat_dir), "--mode", "1"])
+    assert out.stat().st_mtime_ns == mtime  # skipped, not recomputed
