@@ -43,11 +43,12 @@ from meme_challenge_tpu.train.losses import make_loss_fn
 from meme_challenge_tpu.train.optim import make_optimizer
 from meme_challenge_tpu.train.schedules import make_schedule
 from meme_challenge_tpu.train.steps import (
+    EVAL_INFLIGHT_WINDOW,
+    EvalPipeline,
     TrainState,
     _train_step_body,
     chunk_batches,
     eval_chain_token,
-    fetch_all,
     stack_chunk,
     stack_for_accum,
 )
@@ -287,10 +288,11 @@ class FoldParallelTrainer:
 
         # Successive eval dispatches are dependency-chained through a
         # zero-valued scalar token (steps.make_eval_step / detector.py
-        # pattern) so a whole loader pass stays in flight on the relay and
-        # the host fetches ONCE after the last dispatch — a per-batch
-        # np.asarray serialized host stacking against device compute and
-        # paid the relay RTT per batch (r3 review item 2).
+        # pattern) so a deep window of the loader pass stays in flight on
+        # the relay (EvalPipeline bounds the depth for host-batch loaders)
+        # and the host fetches the tail ONCE after the last dispatch — a
+        # per-batch np.asarray serialized host stacking against device
+        # compute and paid the relay RTT per batch (r3 review item 2).
         def _chained(ev_vm):
             def step(params, batch, data, token):
                 probs = ev_vm(params, batch, data) + token  # token == 0.0
@@ -458,9 +460,13 @@ class FoldParallelTrainer:
         iters = [iter(l) for l in self.val_loaders]
         probs_per_fold = [[] for _ in range(self.num_folds)]
         labels_per_fold = [[] for _ in range(self.num_folds)]
-        # pipelined pass: every dispatch chained + in flight; one fetch at
-        # the end (see _chained in _build_steps)
-        token, pending, host_batches = eval_chain_token(), [], []
+        # pipelined pass: dispatches chained + in flight (bounded window
+        # for host-batch loaders — each pending [F, B] feature stack pins
+        # F batches of HBM); one tail fetch (see _chained in _build_steps)
+        token = eval_chain_token()
+        pipe = EvalPipeline(window=None if self._gather
+                            else EVAL_INFLIGHT_WINDOW)
+        host_batches = []
         while True:
             batches = []
             try:
@@ -475,9 +481,9 @@ class FoldParallelTrainer:
                 for k in batches[0]}
             out, token = self._eval_step(self.state.params, device_batch,
                                          self._val_data, token)
-            pending.append(out)
+            pipe.add(out)
             host_batches.append(batches)
-        for probs, batches in zip(fetch_all(pending), host_batches):
+        for probs, batches in zip(pipe.results(), host_batches):
             for f in range(self.num_folds):
                 mask = batches[f]["sample_mask"].astype(bool)
                 probs_per_fold[f].append(probs[f][mask])
@@ -634,8 +640,12 @@ class FoldParallelTrainer:
             iters = [iter(l) for l in loaders]
             probs_per_fold = [[] for _ in range(self.num_folds)]
             ids_per_fold = [[] for _ in range(self.num_folds)]
-            # pipelined pass (same shape as eval_folds): fetch once at end
-            token, pending, host_batches = eval_chain_token(), [], []
+            # pipelined pass (same shape as eval_folds): bounded window,
+            # tail fetch
+            token = eval_chain_token()
+            pipe = EvalPipeline(window=None if pred_gather
+                                else EVAL_INFLIGHT_WINDOW)
+            host_batches = []
             while True:
                 batches = []
                 try:
@@ -648,9 +658,9 @@ class FoldParallelTrainer:
                     for k in batches[0] if k != "ids"}
                 out, token = self._eval_step(self.state.params,
                                              device_batch, pred_data, token)
-                pending.append(out)
+                pipe.add(out)
                 host_batches.append(batches)
-            for probs, batches in zip(fetch_all(pending), host_batches):
+            for probs, batches in zip(pipe.results(), host_batches):
                 for f in range(self.num_folds):
                     mask = batches[f]["sample_mask"].astype(bool)
                     probs_per_fold[f].append(probs[f][mask])
@@ -678,9 +688,11 @@ class FoldParallelTrainer:
                 self._data_cache[key] = cached
             shared_data = cached[1]
         try:
-            # pipelined pass: fetch once at end (see _chained)
-            token, pending, masks, ids_chunks = (
-                eval_chain_token(), [], [], [])
+            # pipelined pass: bounded window, tail fetch (see _chained)
+            token = eval_chain_token()
+            pipe = EvalPipeline(window=None if self._gather
+                                else EVAL_INFLIGHT_WINDOW)
+            masks, ids_chunks = [], []
             for batch in loader:
                 b = dict(batch)
                 ids = b.pop("ids")
@@ -688,12 +700,12 @@ class FoldParallelTrainer:
                 out, token = self._eval_step_shared(
                     self.state.params, device_batch, shared_data,
                     token)  # [F, B]
-                pending.append(out)
+                pipe.add(out)
                 mask = batch["sample_mask"].astype(bool)
                 masks.append(mask)
                 ids_chunks.append(np.asarray(ids)[mask])
             probs_chunks = [p[:, m]
-                            for p, m in zip(fetch_all(pending), masks)]
+                            for p, m in zip(pipe.results(), masks)]
             probs_cat = np.concatenate(probs_chunks, axis=1)
             ids_cat = np.concatenate(ids_chunks)
             return ([probs_cat[f] for f in range(self.num_folds)],

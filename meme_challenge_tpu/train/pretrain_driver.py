@@ -176,9 +176,15 @@ class PretrainTrainer:
         self._task_steps: Dict[str, Callable] = {}
         self._task_multi_steps: Dict[str, Callable] = {}
         # kill-and-resume bookkeeping (save_checkpoint/load_checkpoint):
-        # host-RNG state at stream creation + micro-draws consumed since
+        # host-RNG state at stream creation + micro-draws consumed since.
+        # _stream_draws counts next() calls THIS instance has made on the
+        # meta_loader (whose iterator positions persist across iter() calls,
+        # reference MetaLoader semantics) — resume uses it to tell a fresh
+        # process (replay from origin) from an in-process continuation
+        # (stream already positioned; replaying would double-consume)
         self._stream_rng0 = (random.getstate(), np.random.get_state())
         self._consumed_micros = 0
+        self._stream_draws = 0
         self.saver = ModelSaver(
             f"{c.model_path}/{c.model_save_name}")
 
@@ -265,42 +271,43 @@ class PretrainTrainer:
         return self._task_multi_steps[task]
 
     def save_checkpoint(self, path: str, next_step: int) -> None:
-        """Atomic full-state checkpoint (params + optimizer + step) with a
-        host-RNG sidecar — mid-run kill-and-resume for long pretraining
-        runs, which the final ModelSaver dump alone cannot provide.
+        """Atomic full-state checkpoint — params + optimizer + step + the
+        host-RNG stream record, all in ONE msgpack file so a kill at any
+        instant leaves either the previous checkpoint or the new one,
+        never a torn pair (a separate sidecar file could pair a new state
+        with an old stream record). Mid-run kill-and-resume for long
+        pretraining runs, which the final ModelSaver dump cannot provide.
 
         Restoring the FINAL host-RNG state is not enough here: the
         MetaLoader's TaskLoaders are mid-epoch iterators (a shuffled pass
-        each), and their positions are not RNG state. The sidecar instead
-        records the RNG states AT STREAM CREATION plus the number of
+        each), and their positions are not RNG state. The record instead
+        holds the RNG states AT STREAM CREATION plus the number of
         micro-batch draws consumed; resume re-seeds to the origin and
         replays that many ``next()`` calls — identical draws reproduce
         both the iterator positions and the RNG state."""
         from flax import serialization
 
+        py_state, np_state = self._stream_rng0
+        stream_record = json.dumps({
+            "stream_py_rng": [py_state[0], list(py_state[1]), py_state[2]],
+            "stream_np_rng": [np_state[0],
+                              np.asarray(np_state[1]).tolist(),
+                              int(np_state[2]), int(np_state[3]),
+                              float(np_state[4])],
+            "consumed_micros": int(self._consumed_micros),
+        })
         payload = {
             "params": jax.device_get(self.state.params),
             "opt_state": jax.device_get(self.state.opt_state),
             "step": int(self.state.step),
             "next_step": int(next_step),
+            "stream_record": stream_record,
         }
         os.makedirs(os.path.dirname(os.path.abspath(path)), exist_ok=True)
         tmp = path + ".tmp"
         with open(tmp, "wb") as f:
             f.write(serialization.to_bytes(payload))
         os.replace(tmp, path)  # atomic: a kill mid-write keeps the old file
-        py_state, np_state = self._stream_rng0
-        with open(path + ".meta.json.tmp", "w") as f:
-            json.dump({
-                "stream_py_rng": [py_state[0], list(py_state[1]),
-                                  py_state[2]],
-                "stream_np_rng": [np_state[0],
-                                  np.asarray(np_state[1]).tolist(),
-                                  int(np_state[2]), int(np_state[3]),
-                                  float(np_state[4])],
-                "consumed_micros": int(self._consumed_micros),
-            }, f)
-        os.replace(path + ".meta.json.tmp", path + ".meta.json")
 
     def load_checkpoint(self, path: str) -> int:
         """Restore a :meth:`save_checkpoint` dump; returns the next
@@ -316,6 +323,7 @@ class PretrainTrainer:
             "opt_state": self.state.opt_state,
             "step": 0,
             "next_step": 0,
+            "stream_record": "",
         }
         with open(path, "rb") as f:
             payload = serialization.from_bytes(template, f.read())
@@ -323,9 +331,7 @@ class PretrainTrainer:
                                 opt_state=payload["opt_state"],
                                 step=jnp.asarray(payload["step"],
                                                  jnp.int32))
-        meta = path + ".meta.json"
-        with open(meta) as f:
-            m = json.load(f)
+        m = json.loads(payload["stream_record"])
         v, st, gauss = m["stream_py_rng"]
         py_state = (v, tuple(st), gauss)
         name, keys, pos, has_g, cached = m["stream_np_rng"]
@@ -357,18 +363,46 @@ class PretrainTrainer:
         ckpt_cadence = checkpoint_every or self.steps_per_epoch
         start_step, replay = 0, 0
         if checkpoint_path and os.path.isfile(checkpoint_path):
+            draws_before = self._stream_draws
             start_step = self.load_checkpoint(checkpoint_path)
-            # re-seed to the ORIGINAL run's stream origin; the draws are
-            # replayed below so loader positions + RNG state both line up
-            random.setstate(self._stream_rng0[0])
-            np.random.set_state(self._stream_rng0[1])
-            replay = self._consumed_micros
+            if draws_before == 0:
+                # fresh process: re-seed to the ORIGINAL run's stream
+                # origin; the draws are replayed below so loader positions
+                # + RNG state both line up
+                random.setstate(self._stream_rng0[0])
+                np.random.set_state(self._stream_rng0[1])
+                replay = self._consumed_micros
+            elif draws_before == self._consumed_micros:
+                # in-process continuation (e.g. a second train() call on
+                # the same trainer after it wrote this checkpoint): the
+                # meta_loader's iterators are ALREADY at the checkpoint's
+                # position — replaying from origin would double-consume
+                replay = 0
+            else:
+                raise RuntimeError(
+                    f"cannot resume from {checkpoint_path}: this trainer's "
+                    f"stream has consumed {draws_before} micro-draws but "
+                    f"the checkpoint records {self._consumed_micros} — the "
+                    "in-process stream no longer matches. Construct a "
+                    "fresh trainer (fresh MetaLoader) to resume.")
+            self._stream_draws = self._consumed_micros
             logger.info("resuming pretraining from %s at step %i "
                         "(replaying %i micro-draws)",
                         checkpoint_path, start_step, replay)
         else:
+            if checkpoint_path and self._stream_draws > 0:
+                # a checkpoint written now would record the CURRENT RNG
+                # state as the stream origin, but the meta_loader's
+                # iterators are mid-epoch — a fresh process replaying from
+                # that origin would start from fresh iterators and diverge
+                raise RuntimeError(
+                    "checkpoint_path given on a trainer whose stream has "
+                    "already been consumed — resume replay needs the "
+                    "stream origin to coincide with fresh loader "
+                    "iterators. Construct a fresh trainer to checkpoint.")
             self._stream_rng0 = (random.getstate(), np.random.get_state())
             self._consumed_micros = 0
+            self._stream_draws = 0
         # (task, DEVICE loss buffer) per dispatch — kept in-flight so the
         # async dispatch overlaps host batch assembly (incl. the vectorized
         # MLM masking, data/pretrain.py) with device compute; a per-step
@@ -379,6 +413,8 @@ class PretrainTrainer:
         stream = iter(self.meta_loader)
         for _ in range(replay):  # fast-forward to the checkpoint's position
             next(stream)
+        # (replayed draws are already counted in the restored
+        # _consumed_micros, to which _stream_draws was synced above)
         t0 = time.time()
         # opportunistic chunking: CONSECUTIVE same-task groups share one
         # dispatch (lax.scan over steps) — the MetaLoader switches tasks
@@ -442,6 +478,7 @@ class PretrainTrainer:
                 task = task_i
                 group.append(batch)
             self._consumed_micros += accum
+            self._stream_draws += accum
             # host-side stack; leaves upload inside the one step dispatch
             # (per-leaf jnp ops cost ~3 relay RTs each — see
             # steps.stack_for_accum)

@@ -209,8 +209,11 @@ def main(argv=None):
                                                 uniter_config)
             params["uniter"] = loaded["uniter"]
 
+    # one nominal epoch = one pass of the merged corpus in OPTIMIZER steps:
+    # each step consumes gradient_accumulation micro-batches of batch_size
     steps_per_epoch = args.steps_per_epoch or max(
-        1, math.ceil(len(dataset) / config.batch_size))
+        1, math.ceil(len(dataset)
+                     / (config.batch_size * config.gradient_accumulation)))
     trainer = PretrainTrainer(
         config, model, params, meta, steps_per_epoch=steps_per_epoch,
         ot_weight=args.ot_weight,

@@ -308,10 +308,10 @@ def make_eval_step(model_apply_eval: Callable, probs_fn: Callable,
     token rides into the probabilities (``+ 0.0``, a value no-op that keeps
     the argument in the jaxpr so jit's unused-arg pruning can't drop the
     runtime dependency) and the out-token is derived from the computed
-    probabilities. The eval loops keep every dispatch of a loader pass in
-    flight and fetch ONCE at the end — per-batch ``np.asarray`` syncs
-    serialized host batch assembly against device compute and paid the
-    relay RTT per batch (r3 review)."""
+    probabilities. The eval loops keep a deep window of dispatches in
+    flight (:class:`EvalPipeline`) and fetch the tail ONCE at the end —
+    per-batch ``np.asarray`` syncs serialized host batch assembly against
+    device compute and paid the relay RTT per batch (r3 review)."""
 
     def eval_step(params, batch, data=None, token=None):
         if gather_data:
@@ -336,6 +336,44 @@ def fetch_all(pending: list) -> list:
     point — called only after every dispatch of the pass is enqueued, so
     the device pipeline is never stalled by host-side batch assembly."""
     return [np.asarray(p) for p in pending]
+
+
+# in-flight depth for pipelined eval passes over HOST-BATCH loaders: every
+# pending dispatch pins its full input batch (features!) in HBM until it
+# executes, so an unbounded pass over a large test set could pin gigabytes.
+# 8 keeps the pipeline deep enough to hide per-dispatch RTT (~2 ms on the
+# axon relay vs ~5 ms per eval step) at ≤ ~52 MB of pinned inputs for a
+# [16, 100, 2048] fp16 UNITER batch. Index-mode (device-resident) loaders
+# upload only a few hundred bytes per dispatch and stay unbounded.
+EVAL_INFLIGHT_WINDOW = 8
+
+
+class EvalPipeline:
+    """Pipelined eval dispatches with a bounded in-flight window.
+
+    ``add`` enqueues one dispatch's device output; once more than
+    ``window`` are in flight, the OLDEST is fetched — dispatches are
+    token-chained (:func:`make_eval_step`), so they complete in order and
+    waiting on the oldest bounds both the dispatch backlog and the HBM
+    pinned by their not-yet-consumed input batches, while the newest
+    ``window`` dispatches still overlap host batch assembly.
+    ``window=None`` disables the bound (device-resident index loaders).
+    ``results`` drains the tail and returns every output in add-order.
+    """
+
+    def __init__(self, window: Optional[int] = EVAL_INFLIGHT_WINDOW):
+        self._window = window
+        self._pending: list = []
+        self._done: list = []
+
+    def add(self, out) -> None:
+        self._pending.append(out)
+        if (self._window is not None
+                and len(self._pending) > self._window):
+            self._done.append(np.asarray(self._pending.pop(0)))
+
+    def results(self) -> list:
+        return self._done + fetch_all(self._pending)
 
 
 def stack_for_accum(batches: list) -> Dict[str, Array]:

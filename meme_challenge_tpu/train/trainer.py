@@ -42,11 +42,12 @@ from meme_challenge_tpu.train.losses import make_loss_fn
 from meme_challenge_tpu.train.optim import make_optimizer
 from meme_challenge_tpu.train.schedules import make_schedule
 from meme_challenge_tpu.train.steps import (
+    EVAL_INFLIGHT_WINDOW,
+    EvalPipeline,
     TrainState,
     chunk_batches,
     create_train_state,
     eval_chain_token,
-    fetch_all,
     make_eval_step,
     make_train_multi_step,
     make_train_step,
@@ -342,18 +343,21 @@ class Trainer:
     # ------------------------------------------------------------------- eval
 
     def eval_model(self, loader: BatchLoader):
-        # pipelined pass: all dispatches chained + in flight, ONE fetch at
-        # the end (steps.make_eval_step docstring; r3 review item 2)
+        # pipelined pass: dispatches chained + in flight (bounded window
+        # for host-batch loaders — pending feature batches pin HBM), ONE
+        # tail fetch (steps.make_eval_step docstring; r3 review item 2)
         gather = bool(getattr(loader, "index_batches", False))
         step, data = self._eval_steps[gather], self._data_for(loader)
-        token, pending, masks, labels_list = eval_chain_token(), [], [], []
+        token = eval_chain_token()
+        pipe = EvalPipeline(window=None if gather else EVAL_INFLIGHT_WINDOW)
+        masks, labels_list = [], []
         for batch in loader:
             mask = batch["sample_mask"].astype(bool)
             out, token = step(self.state.params, batch, data, token)
-            pending.append(out)
+            pipe.add(out)
             masks.append(mask)
             labels_list.append(batch["labels"][mask])
-        probs_list = [p[m] for p, m in zip(fetch_all(pending), masks)]
+        probs_list = [p[m] for p, m in zip(pipe.results(), masks)]
         probs = np.concatenate(probs_list)
         labels = np.concatenate(labels_list)
         metrics = standard_metrics(probs, labels, add_optimal_acc=True)
@@ -371,16 +375,17 @@ class Trainer:
         Same pipelined dispatch pattern as :meth:`eval_model`."""
         gather = bool(getattr(loader, "index_batches", False))
         step, data = self._eval_steps[gather], self._data_for(loader)
-        token, pending, masks = eval_chain_token(), [], []
-        ids_list, labels_list = [], []
+        token = eval_chain_token()
+        pipe = EvalPipeline(window=None if gather else EVAL_INFLIGHT_WINDOW)
+        masks, ids_list, labels_list = [], [], []
         for batch in loader:
             mask = batch["sample_mask"].astype(bool)
             out, token = step(self.state.params, batch, data, token)
-            pending.append(out)
+            pipe.add(out)
             masks.append(mask)
             ids_list.append(batch["ids"][mask])
             labels_list.append(batch["labels"][mask])
-        probs_list = [p[m] for p, m in zip(fetch_all(pending), masks)]
+        probs_list = [p[m] for p, m in zip(pipe.results(), masks)]
         return (np.concatenate(probs_list), np.concatenate(ids_list),
                 np.concatenate(labels_list))
 

@@ -1,12 +1,15 @@
-"""Eval/export loops keep all dispatches of a loader pass in flight.
+"""Eval/export loops keep a deep window of dispatches in flight.
 
 VERDICT round-3 weak-point #2: ``eval_folds`` / ``predict_folds`` /
 ``_predict_shared`` (and the sequential ``Trainer.eval_model`` /
 ``predict``) used to call ``np.asarray`` on every dispatch, serializing
 host batch assembly against device compute — one relay RTT per batch.
-These tests pin the pipelined structure: every dispatch of a pass is
-enqueued (dependency-chained through the zero token) BEFORE the single
-``fetch_all`` host sync, and results are unchanged.
+These tests pin the pipelined structure: dispatches of a pass are
+enqueued (dependency-chained through the zero token) ahead of the single
+tail ``fetch_all`` host sync, results are unchanged, and — the round-4
+review fix — the in-flight depth for host-batch loaders is BOUNDED by
+``EVAL_INFLIGHT_WINDOW`` so pending feature batches cannot pin unbounded
+HBM on large test sets.
 """
 import os
 
@@ -16,6 +19,7 @@ import pytest
 import jax
 
 import meme_challenge_tpu.parallel.fold_parallel as fp_mod
+import meme_challenge_tpu.train.steps as steps_mod
 import meme_challenge_tpu.train.trainer as trainer_mod
 from meme_challenge_tpu.core.config import TrainConfig, UniterConfig
 from meme_challenge_tpu.core.seeding import fold_seed, set_seed
@@ -111,7 +115,9 @@ def test_fold_parallel_eval_loops_fetch_once(setup, monkeypatch):
     base_stacked = par.predict_folds([val_l2, BatchLoader(val_l.dataset, 8)])
 
     spy = _Spy()
-    monkeypatch.setattr(fp_mod, "fetch_all", spy.make_fetch(fp_mod.fetch_all))
+    # EvalPipeline.results resolves fetch_all in the steps module namespace
+    monkeypatch.setattr(steps_mod, "fetch_all",
+                        spy.make_fetch(steps_mod.fetch_all))
     monkeypatch.setattr(par, "_eval_step", spy.wrap_step(par._eval_step))
     monkeypatch.setattr(par, "_eval_step_shared",
                         spy.wrap_step(par._eval_step_shared))
@@ -151,8 +157,8 @@ def test_sequential_trainer_eval_fetches_once(setup, monkeypatch):
     assert n_batches >= 2
 
     spy = _Spy()
-    monkeypatch.setattr(trainer_mod, "fetch_all",
-                        spy.make_fetch(trainer_mod.fetch_all))
+    monkeypatch.setattr(steps_mod, "fetch_all",
+                        spy.make_fetch(steps_mod.fetch_all))
     seq._eval_steps = {k: spy.wrap_step(v)
                        for k, v in seq._eval_steps.items()}
 
@@ -164,6 +170,50 @@ def test_sequential_trainer_eval_fetches_once(setup, monkeypatch):
     spy.events.clear()
     probs, ids, labels = seq.predict(val_l)
     spy.assert_single_late_fetch(n_batches)
+    np.testing.assert_allclose(probs, base_pred[0], atol=0)
+    np.testing.assert_array_equal(ids, base_pred[1])
+
+
+def test_eval_pipeline_bounds_inflight_depth():
+    """EvalPipeline fetches the OLDEST dispatch once more than `window`
+    are pending (token-chained dispatches complete in order), and
+    results() returns every output in add-order."""
+    from meme_challenge_tpu.train.steps import EvalPipeline
+
+    pipe = EvalPipeline(window=2)
+    outs = [np.full((2,), i, np.float32) for i in range(5)]
+    for i, o in enumerate(outs):
+        pipe.add(o)
+        assert len(pipe._pending) <= 2, f"window exceeded at add {i}"
+    assert len(pipe._done) == 3 and len(pipe._pending) == 2
+    got = pipe.results()
+    for i, g in enumerate(got):
+        np.testing.assert_array_equal(g, outs[i])
+
+    unbounded = EvalPipeline(window=None)
+    for o in outs:
+        unbounded.add(o)
+    assert len(unbounded._pending) == 5  # index-mode loaders stay unbounded
+    assert [int(g[0]) for g in unbounded.results()] == list(range(5))
+
+
+def test_bounded_window_results_unchanged(setup, monkeypatch):
+    """A window smaller than the pass length (forcing early fetches) must
+    not change eval metrics or predictions."""
+    model, cfg, loaders = setup
+    set_seed(cfg.seed)
+    train_l, val_l = loaders()
+    params = _init_params(model, cfg, val_l)
+    seq = Trainer(cfg, model, params, train_l, val_l, test_loaders=[])
+    assert len(val_l) >= 2
+    base_metrics, base_loss = seq.eval_model(val_l)
+    base_pred = seq.predict(val_l)
+
+    monkeypatch.setattr(trainer_mod, "EVAL_INFLIGHT_WINDOW", 1)
+    metrics, loss = seq.eval_model(val_l)
+    assert metrics["aucroc"] == pytest.approx(base_metrics["aucroc"], abs=0)
+    assert loss == pytest.approx(base_loss, abs=0)
+    probs, ids, _ = seq.predict(val_l)
     np.testing.assert_allclose(probs, base_pred[0], atol=0)
     np.testing.assert_array_equal(ids, base_pred[1])
 

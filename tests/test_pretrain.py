@@ -543,9 +543,14 @@ def test_pretrain_kill_and_resume(corpus, tmp_path):
     part = make_trainer()
     part.train(total_steps=6, save_checkpoint=False,
                checkpoint_path=ck, checkpoint_every=3)
-    assert os.path.isfile(ck) and os.path.isfile(ck + ".meta.json")
+    # single atomic file: state + host-RNG stream record together (a torn
+    # state/sidecar pair was possible with two files)
+    assert os.path.isfile(ck) and not os.path.isfile(ck + ".meta.json")
+    import shutil
+    ck_mid = str(tmp_path / "mid.msgpack")  # the resumed run rewrites ck
+    shutil.copy(ck, ck_mid)
 
-    random.seed(99)  # must be irrelevant: the sidecar restores the stream
+    random.seed(99)  # must be irrelevant: the record restores the stream
     resumed = make_trainer()
     res_losses = resumed.train(total_steps=12, save_checkpoint=False,
                                checkpoint_path=ck, checkpoint_every=100)
@@ -556,3 +561,31 @@ def test_pretrain_kill_and_resume(corpus, tmp_path):
     for a, b in zip(jax.tree.leaves(full.state.params),
                     jax.tree.leaves(resumed.state.params)):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=2e-6)
+
+    # in-process continuation: the SAME trainer calls train() again with
+    # its own checkpoint — the stream is already positioned, so resume
+    # must NOT replay (replaying would double-consume draws); the
+    # continued trajectory still matches the uninterrupted run
+    ck2 = str(tmp_path / "inproc_resume.msgpack")
+    random.seed(31)
+    cont = make_trainer()
+    cont.train(total_steps=6, save_checkpoint=False,
+               checkpoint_path=ck2, checkpoint_every=100)
+    cont.train(total_steps=12, save_checkpoint=False,
+               checkpoint_path=ck2, checkpoint_every=100)
+    assert int(cont.state.step) == 12
+    for a, b in zip(jax.tree.leaves(full.state.params),
+                    jax.tree.leaves(cont.state.params)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=2e-6)
+
+    # misaligned in-process stream → hard error, not silent divergence
+    # (ck_mid records 12 consumed micro-draws; cont's stream has made 24)
+    with pytest.raises(RuntimeError, match="no longer matches"):
+        cont.train(total_steps=13, save_checkpoint=False,
+                   checkpoint_path=ck_mid, checkpoint_every=100)
+    # and starting to CHECKPOINT on an already-consumed stream is refused
+    # (its origin record could not be replayed by a fresh process)
+    with pytest.raises(RuntimeError, match="already been consumed"):
+        cont.train(total_steps=13, save_checkpoint=False,
+                   checkpoint_path=str(tmp_path / "fresh.msgpack"),
+                   checkpoint_every=100)
