@@ -542,6 +542,23 @@ class FoldParallelTrainer:
         state) via :meth:`load_checkpoint`."""
         from flax import serialization
 
+        # best-epoch metric dicts + HOST RNG states ride as a JSON string
+        # leaf INSIDE the same msgpack (ragged/typed — not a fixed-shape
+        # pytree) so the whole checkpoint stays ONE atomic file: a separate
+        # sidecar could pair a new state with an old record if a kill
+        # landed between the two replaces. The host RNGs drive BatchLoader
+        # shuffling (random.shuffle) and numpy sampling; without them a
+        # resumed run would consume a different batch order than the
+        # uninterrupted one.
+        py_state = random.getstate()
+        np_state = np.random.get_state()
+        meta_record = json.dumps({
+            "fold_val_metrics": self.fold_val_metrics,
+            "py_rng": [py_state[0], list(py_state[1]), py_state[2]],
+            "np_rng": [np_state[0], np.asarray(np_state[1]).tolist(),
+                       int(np_state[2]), int(np_state[3]),
+                       float(np_state[4])],
+        })
         payload = {
             "params": jax.device_get(self.state.params),
             "opt_state": jax.device_get(self.state.opt_state),
@@ -551,28 +568,13 @@ class FoldParallelTrainer:
             "not_improved": np.asarray(self.not_improved),
             "done": np.asarray(self.done),
             "next_epoch": int(next_epoch),
+            "meta_record": meta_record,
         }
         os.makedirs(os.path.dirname(os.path.abspath(path)), exist_ok=True)
         tmp = path + ".tmp"
         with open(tmp, "wb") as f:
             f.write(serialization.to_bytes(payload))
         os.replace(tmp, path)  # atomic: a kill mid-write keeps the old file
-        # best-epoch metric dicts + HOST RNG states ride in a JSON sidecar
-        # (ragged/typed — not a fixed-shape pytree). The host RNGs drive
-        # BatchLoader shuffling (random.shuffle) and numpy sampling; without
-        # them a resumed run would consume a different batch order than the
-        # uninterrupted one.
-        py_state = random.getstate()
-        np_state = np.random.get_state()
-        with open(path + ".meta.json.tmp", "w") as f:
-            json.dump({
-                "fold_val_metrics": self.fold_val_metrics,
-                "py_rng": [py_state[0], list(py_state[1]), py_state[2]],
-                "np_rng": [np_state[0], np.asarray(np_state[1]).tolist(),
-                           int(np_state[2]), int(np_state[3]),
-                           float(np_state[4])],
-            }, f)
-        os.replace(path + ".meta.json.tmp", path + ".meta.json")
 
     def load_checkpoint(self, path: str) -> None:
         from flax import serialization
@@ -586,6 +588,7 @@ class FoldParallelTrainer:
             "not_improved": self.not_improved,
             "done": self.done,
             "next_epoch": 0,
+            "meta_record": "",
         }
         with open(path, "rb") as f:
             payload = serialization.from_bytes(template, f.read())
@@ -597,18 +600,14 @@ class FoldParallelTrainer:
         self.not_improved = np.asarray(payload["not_improved"])
         self.done = np.asarray(payload["done"])
         self.start_epoch = int(payload["next_epoch"])
-        meta = path + ".meta.json"
-        if os.path.isfile(meta):
-            with open(meta) as f:
-                m = json.load(f)
-            self.fold_val_metrics = m["fold_val_metrics"]
-            if "py_rng" in m:  # restore host RNG streams (batch shuffling)
-                v, st, gauss = m["py_rng"]
-                random.setstate((v, tuple(st), gauss))
-            if "np_rng" in m:
-                name, keys, pos, has_g, cached = m["np_rng"]
-                np.random.set_state((name, np.asarray(keys, np.uint32),
-                                     pos, has_g, cached))
+        m = json.loads(payload["meta_record"])
+        self.fold_val_metrics = m["fold_val_metrics"]
+        # restore host RNG streams (batch shuffling)
+        v, st, gauss = m["py_rng"]
+        random.setstate((v, tuple(st), gauss))
+        name, keys, pos, has_g, cached = m["np_rng"]
+        np.random.set_state((name, np.asarray(keys, np.uint32),
+                             pos, has_g, cached))
         if self.mesh is not None:
             self._shard_state()
 
