@@ -189,7 +189,17 @@ class PretrainTrainer:
             f"{c.model_path}/{c.model_save_name}")
 
     def _task_step_fn(self, task: str) -> Callable:
-        """Raw (un-jitted) one-optimizer-step function for one task."""
+        """Raw (un-jitted) one-optimizer-step function for one task.
+
+        Deliberately parallel to, not shared with, steps._train_step_body:
+        that body is built around the classifier loss signature
+        ``loss_fn(logits, labels, sample_mask) → (loss, probs)``, while
+        pretrain tasks produce multi-output heads with task-specific
+        reductions (_task_reduce) and no probability aux. The scan path's
+        zero-init accumulator (vs the shared body's micro-0 seeding) was
+        measured perf-NEUTRAL on this hardware — XLA overlaps the
+        accumulator traffic (BASELINE.md r2 'grad-accumulation
+        restructure')."""
         model = self.model
         tx = self.tx
         accum = self.config.gradient_accumulation
