@@ -296,7 +296,9 @@ class FoldParallelTrainer:
         def _chained(ev_vm):
             def step(params, batch, data, token):
                 probs = ev_vm(params, batch, data) + token  # token == 0.0
-                return probs, probs.reshape(-1)[0] * 0.0
+                # nan_to_num keeps the out-token finite even when a fold
+                # diverges (NaN p0 would poison the rest of the pass)
+                return probs, jnp.nan_to_num(probs.reshape(-1)[0]) * 0.0
             return jax.jit(step)
 
         self._eval_step = _chained(
@@ -482,7 +484,13 @@ class FoldParallelTrainer:
             out, token = self._eval_step(self.state.params, device_batch,
                                          self._val_data, token)
             pipe.add(out)
-            host_batches.append(batches)
+            # retain only what the post-loop reads — keeping the full batch
+            # dicts would pin every fold's feature arrays in host RAM for
+            # the whole pass (they're already uploaded; the window only
+            # bounds the DEVICE side)
+            host_batches.append([
+                {"sample_mask": np.asarray(b["sample_mask"]),
+                 "labels": np.asarray(b["labels"])} for b in batches])
         for probs, batches in zip(pipe.results(), host_batches):
             for f in range(self.num_folds):
                 mask = batches[f]["sample_mask"].astype(bool)
@@ -575,6 +583,11 @@ class FoldParallelTrainer:
         with open(tmp, "wb") as f:
             f.write(serialization.to_bytes(payload))
         os.replace(tmp, path)  # atomic: a kill mid-write keeps the old file
+        # drop a stale sidecar from the pre-r4 two-file format so a later
+        # legacy-path load can't pair this state with an outdated record
+        legacy_meta = path + ".meta.json"
+        if os.path.isfile(legacy_meta):
+            os.remove(legacy_meta)
 
     def load_checkpoint(self, path: str) -> None:
         from flax import serialization
@@ -591,7 +604,25 @@ class FoldParallelTrainer:
             "meta_record": "",
         }
         with open(path, "rb") as f:
-            payload = serialization.from_bytes(template, f.read())
+            raw = f.read()
+        try:
+            payload = serialization.from_bytes(template, raw)
+            m = json.loads(payload["meta_record"])
+        except (ValueError, KeyError):
+            # pre-r4 two-file format: the msgpack has no 'meta_record' leaf
+            # and the record lives in a '.meta.json' sidecar. Restore via
+            # the legacy layout instead of crashing auto-resume.
+            logger.warning(
+                "[fold-parallel] resume file %s is the legacy two-file "
+                "layout; restoring via its sidecar", path)
+            legacy = {k: v for k, v in template.items()
+                      if k != "meta_record"}
+            payload = serialization.from_bytes(legacy, raw)
+            m = {"fold_val_metrics": self.fold_val_metrics}
+            sidecar = path + ".meta.json"
+            if os.path.isfile(sidecar):
+                with open(sidecar) as f:
+                    m = json.load(f)
         self.state = TrainState(params=payload["params"],
                                 opt_state=payload["opt_state"],
                                 step=jnp.asarray(payload["step"]))
@@ -600,14 +631,14 @@ class FoldParallelTrainer:
         self.not_improved = np.asarray(payload["not_improved"])
         self.done = np.asarray(payload["done"])
         self.start_epoch = int(payload["next_epoch"])
-        m = json.loads(payload["meta_record"])
         self.fold_val_metrics = m["fold_val_metrics"]
-        # restore host RNG streams (batch shuffling)
-        v, st, gauss = m["py_rng"]
-        random.setstate((v, tuple(st), gauss))
-        name, keys, pos, has_g, cached = m["np_rng"]
-        np.random.set_state((name, np.asarray(keys, np.uint32),
-                             pos, has_g, cached))
+        if "py_rng" in m:  # restore host RNG streams (batch shuffling)
+            v, st, gauss = m["py_rng"]
+            random.setstate((v, tuple(st), gauss))
+        if "np_rng" in m:
+            name, keys, pos, has_g, cached = m["np_rng"]
+            np.random.set_state((name, np.asarray(keys, np.uint32),
+                                 pos, has_g, cached))
         if self.mesh is not None:
             self._shard_state()
 
@@ -658,7 +689,10 @@ class FoldParallelTrainer:
                 out, token = self._eval_step(self.state.params,
                                              device_batch, pred_data, token)
                 pipe.add(out)
-                host_batches.append(batches)
+                # masks + ids only — see eval_folds (host-RSS bound)
+                host_batches.append([
+                    {"sample_mask": np.asarray(b["sample_mask"]),
+                     "ids": np.asarray(b["ids"])} for b in batches])
             for probs, batches in zip(pipe.results(), host_batches):
                 for f in range(self.num_folds):
                     mask = batches[f]["sample_mask"].astype(bool)

@@ -321,7 +321,10 @@ def make_eval_step(model_apply_eval: Callable, probs_fn: Callable,
         if token is None:
             return probs
         probs = probs + token  # token == 0.0 always: dependency edge only
-        return probs, probs.reshape(-1)[0] * 0.0
+        # nan_to_num: a diverged batch (NaN first probability) must stay
+        # isolated to its own batch — a raw p0 * 0.0 would be NaN and
+        # poison every later batch in the chained pass.
+        return probs, jnp.nan_to_num(probs.reshape(-1)[0]) * 0.0
 
     return jax.jit(eval_step)
 

@@ -132,6 +132,70 @@ def test_fold_parallel_kill_and_resume(setup, tmp_path):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-6)
 
 
+def test_fold_parallel_resume_accepts_legacy_two_file_format(setup, tmp_path):
+    """A resume file written by the pre-r4 two-file layout (msgpack without
+    the 'meta_record' leaf + '.meta.json' sidecar) must still restore
+    instead of crashing auto-resume; the next save removes the stale
+    sidecar (ADVICE r4 #1)."""
+    import json as _json
+
+    from flax import serialization
+
+    model, cfg, loaders = setup
+    ck = str(tmp_path / "driver_state.msgpack")
+
+    def build(max_epoch):
+        set_seed(cfg.seed)
+        train_l, val_l = loaders()
+        params = _init_params(model, cfg, val_l)
+        stacked = jax.tree.map(lambda x: np.asarray(x)[None], params)
+        return FoldParallelTrainer(cfg.replace(max_epoch=max_epoch), model,
+                                   stacked, [train_l], [val_l])
+
+    part = build(2)
+    part.train_main(checkpoint_path=ck)
+
+    # rewrite the checkpoint into the LEGACY layout: strip the meta_record
+    # leaf out of the msgpack and park it in the old sidecar
+    template = {
+        "params": part.state.params, "opt_state": part.state.opt_state,
+        "step": part.state.step, "best_params": part.best_params,
+        "best_metric": part.best_metric, "not_improved": part.not_improved,
+        "done": part.done, "next_epoch": 0, "meta_record": "",
+    }
+    with open(ck, "rb") as f:
+        payload = serialization.from_bytes(template, f.read())
+    record = _json.loads(payload.pop("meta_record"))
+    with open(ck, "wb") as f:
+        f.write(serialization.to_bytes(payload))
+    with open(ck + ".meta.json", "w") as f:
+        _json.dump(record, f)
+
+    resumed = build(4)
+    resumed.load_checkpoint(ck)  # must not raise
+    assert resumed.start_epoch == int(payload["next_epoch"])
+    assert resumed.fold_val_metrics == record["fold_val_metrics"]
+    for a, b in zip(jax.tree.leaves(part.best_params),
+                    jax.tree.leaves(resumed.best_params)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-6)
+
+    # a legacy file with NO sidecar also restores (fresh-metrics fallback)
+    os.remove(ck + ".meta.json")
+    resumed2 = build(4)
+    resumed2.load_checkpoint(ck)
+    assert resumed2.start_epoch == int(payload["next_epoch"])
+
+    # the next save upgrades to the single-file format and cleans up any
+    # stale sidecar left on disk
+    with open(ck + ".meta.json", "w") as f:
+        f.write("{}")
+    resumed2.save_checkpoint(ck, next_epoch=3)
+    assert not os.path.exists(ck + ".meta.json")
+    fresh = build(4)
+    fresh.load_checkpoint(ck)
+    assert fresh.start_epoch == 3
+
+
 def test_fold_parallel_cycles_unequal_folds(setup):
     """A shorter fold cycles its stream instead of truncating the longer
     fold's epoch (VERDICT weak #4: tail batches must not be dropped)."""
