@@ -13,10 +13,22 @@ each guarded by a timeout so one flaky remote compile can't sink the run.
 ``vs_baseline`` compares against the reference-side anchor recorded in
 BASELINE.md (torch fp32 on the reference's single-GPU stack — an estimate
 until a CUDA box is available; see BASELINE.md "measured" table).
+
+BUDGET-SHAPED CAPTURE (r5): the whole run fits ``BENCH_BUDGET_S`` seconds
+(env var, default 1200). Probe backoff, per-metric budgets and the salvage
+pass are all derived from the REMAINING budget — never from fixed
+constants — and the JSON result line is (re-)printed incrementally: a
+provisional headline-only line the moment the first variant lands, then an
+enriched line after every completed extra metric. The driver parses the
+LAST line of stdout, so a kill at any point still leaves the best-known
+numbers behind; a SIGTERM handler and an atexit hook emit one final line
+even when the driver's outer timeout fires mid-metric.
 """
 from __future__ import annotations
 
+import atexit
 import json
+import os
 import signal
 import time
 
@@ -52,22 +64,89 @@ ACCUM = 2
 T, R = 60, 100
 WARMUP_STEPS = 3
 TIMED_STEPS = 30
-EXTRA_TIMEOUT_S = 420  # per extra metric; remote compiles can stall
+EXTRA_TIMEOUT_S = 420  # nominal per extra metric; remote compiles can stall
 FINETUNE_LOOP_TIMEOUT_S = 600  # two fresh compiles (gather single-step +
                                # K=8 chunk); chunked measured first, K=1
                                # skipped when the budget runs short
+UNITER_LARGE_TIMEOUT_S = 600  # 24-layer remote compiles; missed 4 rounds —
+                              # runs FIRST in the extras table
 PRETRAIN_TIMEOUT_S = 960  # 4 task compiles + 2 driver-loop compiles; the
                           # remote compile service has windows where a
                           # single fresh HLO takes 3+ minutes. Order:
                           # mlm → driver loop → itm/mrfr/mrc-kl, so a slow
                           # window costs the tail tasks, not the loop metric
 
+# ----------------------------------------------------------------- budget
+# Global wall-clock budget for the WHOLE capture. Every nominal budget
+# above is a ceiling that gets clamped to what actually remains; when the
+# budget runs dry, remaining metrics are skipped (marked) rather than
+# risking the driver's outer timeout killing the process mid-metric with
+# nothing on stdout (that is exactly how round 4's artifact came back
+# empty: rc 124, no JSON line).
+BENCH_BUDGET_S = float(os.environ.get("BENCH_BUDGET_S", "1200"))
+_T0 = time.monotonic()
+_DEADLINE = _T0 + BENCH_BUDGET_S
+# wall-clock reserved at the tail for salvage-decision + final emission
+_EMIT_MARGIN_S = 20.0
+
+
+def _remaining() -> float:
+    """Seconds left of the global capture budget."""
+    return _DEADLINE - time.monotonic()
+
+
+# The one result line, updated in place as metrics land and re-printed at
+# every milestone (the driver reads the LAST parseable line of stdout).
+_line = {
+    "metric": "memes_per_sec_per_chip_uniter_base_finetune",
+    "value": 0.0,
+    "unit": "memes/s/chip",
+    "vs_baseline": 0.0,
+    "extra_metrics": {},
+}
+
+
+def _emit():
+    """Print the current best-known result line (flushed: a later SIGKILL
+    must not lose buffered provisional lines in a stdout pipe)."""
+    print(json.dumps(_line), flush=True)
+
+
+def _set_headline(value: float):
+    _line["value"] = round(value, 2)
+    _line["vs_baseline"] = round(value / REFERENCE_BASELINE_MEMES_PER_SEC, 3)
+
+
+_final_emitted = False
+
+
+def _emit_final():
+    global _final_emitted
+    _line["extra_metrics"]["elapsed_s"] = round(time.monotonic() - _T0, 1)
+    _line["extra_metrics"]["budget_s"] = BENCH_BUDGET_S
+    _emit()
+    _final_emitted = True
+
+
+def _on_sigterm(signum, _frame):
+    """The driver's outer timeout sends SIGTERM: emit the best-known line
+    before dying so the artifact is never empty."""
+    _line["extra_metrics"]["terminated"] = (
+        f"signal {signum} at {time.monotonic() - _T0:.0f}s")
+    _emit_final()
+    os._exit(0)
+
+
+def _atexit_emit():
+    if not _final_emitted:
+        _emit_final()
+
 
 class _Timeout(Exception):
     pass
 
 
-def _device_backend_reachable(timeout_s: int = 150):
+def _device_backend_reachable(timeout_s: int = 180):
     """Probe the accelerator in a SUBPROCESS with a hard kill.
 
     When the axon relay tunnel is unhealthy, the PJRT client handshake
@@ -97,35 +176,58 @@ def _device_backend_reachable(timeout_s: int = 150):
     return False, f"probe exited {r.returncode}: {tail}"
 
 
-# Backoff sleeps between reachability probes. Relay outages are
-# window-shaped and have been observed to outlast the old 3×150 s probe
-# loop (round 3 lost its entire capture to one). Worst case this schedule
-# spans ≈34.5 min of sleep + 8 × 150 s hung probes ≈ 54 min before the
-# bench gives up — the bench's whole plausible budget, per the r3 review.
-PROBE_BACKOFF_S = (30, 60, 120, 240, 420, 600, 600)
+_PROBE_TIMEOUT_S = 180  # worst-case cost of one HUNG probe subprocess
+# (first device contact after a relay outage has taken ~170 s live)
 
 
-def _probe_until_reachable(sleeps=PROBE_BACKOFF_S):
-    """Probe the relay with backoff until it answers or the schedule ends.
+def _backoff_sleeps(budget_s: float,
+                    probe_s: float = _PROBE_TIMEOUT_S) -> tuple:
+    """Doubling backoff schedule (30 s … 600 s cap) sized so the whole
+    probe loop — sleeps plus worst-case hung probes between them — fits
+    ``budget_s``. Relay outages are window-shaped (7–20+ min observed), so
+    the schedule should span as much of the AVAILABLE budget as possible
+    and no more: round 3 lost its capture to a too-short fixed loop, round
+    4 to fixed constants summing past the driver's timeout."""
+    sleeps, total, s = [], probe_s, 30.0  # first probe precedes any sleep
+    while total + s + probe_s <= budget_s:
+        sleeps.append(int(s))
+        total += s + probe_s
+        s = min(s * 2, 600)
+    return tuple(sleeps)
 
-    Returns ``(ok, detail, waited_s)``; ``waited_s`` is recorded in the
-    artifact so a capture that survived an outage says so.
 
-    The full backoff is reserved for HANGS (the observed outage shape —
-    the PJRT handshake blocks in C). A probe that EXITS nonzero is usually
+def _probe_until_reachable(sleeps=None, budget_s=None):
+    """Probe the relay with backoff until it answers or the budget ends.
+
+    ``sleeps`` may be given explicitly; otherwise it is derived from
+    ``budget_s`` via :func:`_backoff_sleeps` (and clamped to the global
+    remaining budget either way). Returns ``(ok, detail, waited_s)``;
+    ``waited_s`` is recorded in the artifact so a capture that survived an
+    outage says so.
+
+    The backoff is reserved for HANGS (the observed outage shape — the
+    PJRT handshake blocks in C). A probe that EXITS nonzero is usually
     deterministic breakage (bad env, import error) that no amount of
     sleeping heals, so three consecutive exit-failures end the schedule
-    early instead of wasting the whole ~54 min budget."""
+    early instead of wasting the remaining budget."""
+    if sleeps is None:
+        sleeps = _backoff_sleeps(budget_s if budget_s is not None
+                                 else _remaining())
     t0 = time.monotonic()
-    ok, detail = _device_backend_reachable()
+    probe_timeout = int(max(10, min(_PROBE_TIMEOUT_S,
+                                    _remaining() - _EMIT_MARGIN_S)))
+    ok, detail = _device_backend_reachable(probe_timeout)
     if ok:
         return True, "", 0.0
     exit_fails = 1 if detail.startswith("probe exited") else 0
     for s in sleeps:
         if exit_fails >= 3:
             break
+        if _remaining() < s + _PROBE_TIMEOUT_S + _EMIT_MARGIN_S:
+            break  # the global budget can no longer afford this wait
         time.sleep(s)
-        ok, detail = _device_backend_reachable()
+        ok, detail = _device_backend_reachable(
+            int(max(10, min(_PROBE_TIMEOUT_S, _remaining() - _EMIT_MARGIN_S))))
         if ok:
             return True, "", time.monotonic() - t0
         exit_fails = (exit_fails + 1 if detail.startswith("probe exited")
@@ -153,6 +255,25 @@ def _with_timeout(fn, seconds=EXTRA_TIMEOUT_S):
         if outer:
             remaining = outer - (time.monotonic() - start)
             signal.alarm(max(1, int(remaining)))
+
+
+# Wall-clock end of the CURRENT extra metric's (clamped) alarm budget, set
+# by _run_extra around each call. Metric functions that sub-budget their
+# internal stages (bench_pretrain, bench_finetune_loop, bench_uniter_large)
+# anchor on this instead of their nominal constants, so a globally-clamped
+# budget shortens their internal schedule too instead of silently letting
+# every stage plan for a window that no longer exists.
+_metric_deadline = None
+
+
+def _metric_end(nominal_s: float, margin: float = 30.0) -> float:
+    """time.monotonic() value a metric's internal stages must finish by:
+    its nominal window, clamped to the budget _run_extra actually armed
+    and to the global capture deadline."""
+    end = time.monotonic() + nominal_s
+    if _metric_deadline is not None:
+        end = min(end, _metric_deadline)
+    return min(end, _DEADLINE) - margin
 
 
 def _finetune_batch(rng, ucfg, batch, accum):
@@ -262,7 +383,7 @@ def bench_finetune_loop():
     skipped when the budget runs short (each mode is its own fresh remote
     compile — a slow compile-service window must not sink the whole
     metric, r3 rehearsal lost it to a double timeout)."""
-    budget_end = time.monotonic() + FINETUNE_LOOP_TIMEOUT_S - 30
+    budget_end = _metric_end(FINETUNE_LOOP_TIMEOUT_S)
     from meme_challenge_tpu.train.steps import (
         make_train_multi_step, make_train_step)
 
@@ -444,7 +565,7 @@ def bench_pretrain():
     set before any model/trainer construction, and the nested SIGALRMs
     replace the outer one from main(), so the per-metric cap holds even
     when the remote compile service is slow."""
-    budget_end = time.monotonic() + PRETRAIN_TIMEOUT_S - 30  # anchor FIRST
+    budget_end = _metric_end(PRETRAIN_TIMEOUT_S)  # anchor FIRST
 
     from meme_challenge_tpu.models.uniter import UniterForPretraining
     from meme_challenge_tpu.train.pretrain_driver import PretrainTrainer
@@ -671,7 +792,7 @@ def bench_uniter_large():
     fused step ran fine. Each variant is guarded so one failure (OOM,
     compile-window timeout — this row has been lost to both) cannot sink
     the other's number."""
-    budget_end = time.monotonic() + 600 - 30
+    budget_end = _metric_end(UNITER_LARGE_TIMEOUT_S)
 
     def one(fuse):
         ucfg = UniterConfig(dtype="bfloat16", **PERF_STORAGE,
@@ -723,21 +844,60 @@ def bench_extraction():
     return out
 
 
-# (name, fn, budget_s, retries): UNITER-large gets a dedicated larger
-# budget — its 24-layer remote compile blew the default 420 s window in
-# one capture — plus one retry: the remote compile service caches by HLO
-# hash server-side, so a retry after a timed-out compile usually lands
-# on the warm entry. (JAX's persistent compilation cache is a no-op on
-# this backend: the axon PJRT client doesn't serialize executables.)
+def bench_window_fingerprint():
+    """~10 s microprobe characterizing the relay window this capture ran in.
+
+    The headline swings ±40% between the relay's fast and slow launch-
+    overhead regimes (BASELINE.md two-regime narrative), so every artifact
+    records the window it was captured in: per-dispatch RTT synced vs
+    chained (launch-overhead regime) and H2D bandwidth via one timed ~13 MB
+    upload (feature-upload regime). A future slow-window capture then reads
+    as "slow window", not as a regression."""
+    f = jax.jit(lambda x: x + 1.0)
+    x = jnp.zeros((8, 8), jnp.float32)
+    np.asarray(f(x))  # compile + first round trip
+    ts = []
+    for _ in range(10):
+        t0 = time.perf_counter()
+        np.asarray(f(x))  # np.asarray: the only reliable relay barrier
+        ts.append(time.perf_counter() - t0)
+    synced_ms = float(np.median(ts)) * 1000
+    y = x
+    t0 = time.perf_counter()
+    for _ in range(50):
+        y = f(y)
+    np.asarray(y)
+    chained_ms = (time.perf_counter() - t0) / 50 * 1000
+    payload = np.zeros((32, 100, 2048), np.float16)  # 13.1 MB, feature-like
+    t0 = time.perf_counter()
+    dev = jax.device_put(payload)
+    np.asarray(dev[0, 0, :1])  # force the transfer to completion
+    h2d = payload.nbytes / 1e6 / (time.perf_counter() - t0)
+    return {"dispatch_rtt_synced_ms": synced_ms,
+            "dispatch_chained_ms": chained_ms,
+            "h2d_mb_per_s": h2d}
+
+
+# (name, fn, nominal_budget_s, retries) — nominal budgets are CEILINGS:
+# _run_extra clamps each to the remaining global budget, and entries are
+# skipped outright once the budget can't fund a meaningful attempt, so the
+# ORDER is a priority list. UNITER-large leads (it has missed four
+# consecutive driver artifacts); pretrain — the longest and the best
+# covered by prior BASELINE rows — goes last. Retries exist because the
+# remote compile service caches by HLO hash server-side, so a retry after
+# a timed-out compile usually lands on the warm entry. (JAX's persistent
+# compilation cache is a no-op on this backend: the axon PJRT client
+# doesn't serialize executables.)
 EXTRA_TABLE = [
+    ("uniter_large_memes_per_sec", bench_uniter_large,
+     UNITER_LARGE_TIMEOUT_S, 1),
+    ("inference_ms_batch16", bench_inference_p50, 300, 0),
+    ("extraction_sec_per_img", bench_extraction, EXTRA_TIMEOUT_S, 0),
+    ("text_only_bert_memes_per_sec", bench_text_only, 360, 0),
     ("finetune_loop_memes_per_sec", bench_finetune_loop,
      FINETUNE_LOOP_TIMEOUT_S, 1),  # gather-variant step = own compile
-    ("inference_ms_batch16", bench_inference_p50, EXTRA_TIMEOUT_S, 0),
-    ("text_only_bert_memes_per_sec", bench_text_only, EXTRA_TIMEOUT_S, 0),
     ("pretrain_memes_per_sec_by_task", bench_pretrain,
      PRETRAIN_TIMEOUT_S, 0),
-    ("uniter_large_memes_per_sec", bench_uniter_large, 600, 1),
-    ("extraction_sec_per_img", bench_extraction, EXTRA_TIMEOUT_S, 0),
 ]
 
 
@@ -768,44 +928,66 @@ def _run_extra(fn, budget, retries):
     fires when the RETURNED tree contains error/timeout markers (metrics
     like bench_uniter_large guard their variants internally and return
     marker strings instead of raising); numeric leaves from earlier
-    attempts always survive the merge."""
+    attempts always survive the merge.
+
+    ``budget`` is a nominal ceiling: every attempt is re-clamped to what
+    remains of the GLOBAL capture budget, and retries stop when the global
+    budget can no longer fund a meaningful attempt."""
+    global _metric_deadline
     result = "error: not run"
     for attempt in range(retries + 1):
+        armed = int(min(budget, _remaining() - _EMIT_MARGIN_S))
+        # skip only when the GLOBAL budget forced the clamp below a useful
+        # attempt (a deliberately small nominal budget still runs)
+        if armed < max(1, min(budget, 30)):
+            return _merge_prefer_numeric(result,
+                                         "skipped: global bench budget")
+        _metric_deadline = time.monotonic() + armed
         try:
             rounded = jax.tree.map(
                 lambda v: v if isinstance(v, str) else round(float(v), 3),
-                _with_timeout(fn, budget))
+                _with_timeout(fn, armed))
         except Exception as e:  # noqa: BLE001 — report, don't sink the run
             if not isinstance(e, _Timeout):
                 return _merge_prefer_numeric(
                     result, f"error: {type(e).__name__}: {e}"[:200])
             rounded = "timeout"
+        finally:
+            _metric_deadline = None
         result = _merge_prefer_numeric(result, rounded)
         if not _bad(result):
             return result
     return result
 
 
-def _run_headline(only=None):
+def _run_headline(only=None, on_variant=None):
     """Measure BOTH recipe-faithful step shapes (see :func:`bench_headline`)
     and headline the better; each variant's number is recorded in extras
-    via the returned detail dict. The scan variant gets a retry (it is the
-    round-over-round comparison row); the fused variant one attempt — the
-    salvage pass at the end of main() retries anything that errored.
+    via the returned detail dict. The FUSED variant runs first (the recent
+    best — its number becomes the provisional line as fast as possible);
+    the scan variant gets a retry (it is the round-over-round comparison
+    row). Per-variant timeouts are clamped to the remaining global budget,
+    and a variant whose attempt can't be funded is marked skipped.
 
     ``only``: optional set of variant keys to measure (the salvage pass
     re-runs just the errored variant instead of burning relay time
-    re-measuring a number it already has)."""
+    re-measuring a number it already has). ``on_variant(detail, best)`` is
+    called after each measured variant — main() uses it to emit a
+    provisional result line the moment the first number lands."""
     detail = {}
     headline, err = 0.0, None
-    for fuse, key, attempts in ((False, "scan_accum_b16x2", 2),
-                                (True, "fused_accum_flat32", 1)):
+    for fuse, key, attempts in ((True, "fused_accum_flat32", 1),
+                                (False, "scan_accum_b16x2", 2)):
         if only is not None and key not in only:
             continue
         val, e = 0.0, None
         for _ in range(attempts):
+            armed = int(min(600, _remaining() - _EMIT_MARGIN_S))
+            if armed < 60:
+                e = "skipped: global bench budget"
+                break
             try:
-                val = _with_timeout(lambda: bench_headline(fuse), 600)
+                val = _with_timeout(lambda: bench_headline(fuse), armed)
                 e = None
                 break
             except Exception as ex:  # noqa: BLE001
@@ -815,44 +997,69 @@ def _run_headline(only=None):
         detail[key] = round(val, 1) if e is None else e
         if e is None and val > headline:
             headline = val
+        if on_variant is not None:
+            on_variant(dict(detail), headline)
     if headline <= 0.0:
         err = "; ".join(str(v) for v in detail.values())
     return headline, err, detail
 
 
 def main():
+    # Emission guards: the driver's outer timeout (SIGTERM) and any other
+    # exit path must still leave the best-known line on stdout — round 4's
+    # artifact was empty precisely because nothing printed until the very
+    # end of main().
+    signal.signal(signal.SIGTERM, _on_sigterm)
+    atexit.register(_atexit_emit)
+    extras = _line["extra_metrics"]
+
     # Relay watchdog: the first in-process device contact would hang
     # UNINTERRUPTIBLY if the tunnel is down — probe in a subprocess with a
-    # backoff schedule spanning the bench's whole plausible budget (~54 min
-    # worst case; r3 lost its capture to an outage longer than the old
-    # 8.5 min loop) so the capture always emits its one JSON line.
-    ok, probe_detail, waited = _probe_until_reachable()
+    # backoff schedule derived from the remaining budget, reserving ~7 min
+    # to actually measure the headline once the relay answers.
+    ok, probe_detail, waited = _probe_until_reachable(
+        budget_s=_remaining() - 420)
     if not ok:
-        print(json.dumps({
-            "metric": "memes_per_sec_per_chip_uniter_base_finetune",
-            "value": 0.0, "unit": "memes/s/chip", "vs_baseline": 0.0,
-            "extra_metrics": {"error": "device backend unreachable after "
-                              f"{len(PROBE_BACKOFF_S) + 1} probe subprocesses"
-                              f" over {waited / 60:.1f} min; no measurement "
-                              f"possible. Last probe: {probe_detail}"},
-        }))
+        extras["error"] = ("device backend unreachable over "
+                           f"{waited / 60:.1f} min of probing within the "
+                           f"{BENCH_BUDGET_S:.0f} s budget; no measurement "
+                           f"possible. Last probe: {probe_detail}")
+        _emit_final()
         return
-
-    headline, headline_err, headline_detail = _run_headline()
-    extras = {"headline_variants": headline_detail}
     if waited:
         extras["probe_waited_out_outage_min"] = round(waited / 60, 1)
+
+    # Window fingerprint FIRST: 10 s that make every later number
+    # self-explaining (fast vs slow relay regime), captured before the
+    # budget can run out.
+    extras["window"] = _run_extra(bench_window_fingerprint, 90, 0)
+    _emit()
+
+    def provisional(detail, best):
+        extras["headline_variants"] = detail
+        if best > 0.0:
+            _set_headline(best)
+        _emit()
+
+    headline, headline_err, headline_detail = _run_headline(
+        on_variant=provisional)
+    extras["headline_variants"] = headline_detail
+    if headline > 0.0:
+        _set_headline(headline)
+    _emit()
     for name, fn, budget, retries in EXTRA_TABLE:
         extras[name] = _run_extra(fn, budget, retries)
+        _emit()  # each completed metric updates the tail line
 
     # End-of-run salvage: a mid-capture relay brown-out zeroes whichever
-    # metric it hits. Re-probe (short backoff — the full schedule already
-    # guarded entry) and give the headline plus every errored extra one
-    # more attempt before emitting the line.
+    # metric it hits. If the budget still has room, re-probe (short
+    # backoff) and give the headline plus every errored extra one more
+    # attempt before the final line.
     needs_salvage = (headline <= 0.0 or headline_err is not None or
                      any(_bad(v) for v in extras.values()))
-    if needs_salvage:
-        ok, _, rewait = _probe_until_reachable(sleeps=(60, 120, 240))
+    if needs_salvage and _remaining() > 240:
+        ok, _, rewait = _probe_until_reachable(
+            budget_s=min(_remaining() - 120, 500))
         if ok:
             if rewait:
                 extras["salvage_waited_min"] = round(rewait / 60, 1)
@@ -871,25 +1078,23 @@ def main():
                            if isinstance(v, (int, float))]
                 if numeric:
                     headline, headline_err = max(numeric), None
+                    _set_headline(headline)
                 else:
                     headline_err = "; ".join(
                         str(v) for v in headline_detail.values())
+                _emit()
             for name, fn, budget, retries in EXTRA_TABLE:
-                if _bad(extras.get(name)):
+                if _bad(extras.get(name)) and _remaining() > 60:
                     extras[name] = _merge_prefer_numeric(
                         extras.get(name), _run_extra(fn, budget, retries))
+                    _emit()
         else:
             extras["salvage_skipped"] = "relay unreachable at end of run"
+    elif needs_salvage:
+        extras["salvage_skipped"] = "global bench budget exhausted"
     if headline_err is not None:
         extras["headline_error"] = headline_err
-
-    print(json.dumps({
-        "metric": "memes_per_sec_per_chip_uniter_base_finetune",
-        "value": round(headline, 2),
-        "unit": "memes/s/chip",
-        "vs_baseline": round(headline / REFERENCE_BASELINE_MEMES_PER_SEC, 3),
-        "extra_metrics": extras,
-    }))
+    _emit_final()
 
 
 if __name__ == "__main__":
