@@ -66,10 +66,10 @@ def standard_metrics_binary(
     probs = _as_numpy(probs).astype(np.float64)
     labels = _as_numpy(labels).astype(np.int64)
     assert np.all((probs <= 1.0) & (probs >= 0.0)), (
-        "Probabilities must be between 0 and 1, but are as follows: %s" % probs
+        "probabilities outside the [0, 1] range, but are as follows: %s" % probs
     )
     assert np.all((labels == 0) | (labels == 1)), (
-        "Labels must be binary (0 or 1), but are as follows: %s" % labels
+        "expected binary labels, got values outside {0, 1}, but are as follows: %s" % labels
     )
     if np.all((probs == 0) | (probs == 1)):
         LOGGER.warning(
@@ -108,7 +108,7 @@ def standard_metrics_binary(
 def standard_metrics_multiclass(probs, labels, **_kwargs) -> Dict[str, float]:
     probs = _as_numpy(probs)
     labels = _as_numpy(labels).astype(np.int64)
-    assert probs.ndim == 2, "Probabilities need to be given for each class."
+    assert probs.ndim == 2, "per-class probability columns are required here."
     preds = probs.argmax(axis=-1)
     per_class = [_tfpn(preds, labels, true_label=i) for i in range(probs.shape[1])]
     recalls = [d["TP"] / max(d["TP"] + d["FN"], 1e-4) for d in per_class]
@@ -186,8 +186,8 @@ def find_optimal_threshold(probs, labels, metric: str = "accuracy",
         probs, labels, best_threshold, add_aucroc=False)[metric]
     if reproduced != scores[argmax]:
         LOGGER.warning(
-            "Internal error. Was not able to reproduce best threshold score."
-            "\nOriginal score: %f\nReproduced score: %f",
+            "threshold sweep self-check failed: re-scoring the selected "
+            "threshold gave a different value (swept %f, re-scored %f)",
             scores[argmax], reproduced,
         )
     return float(best_threshold)
@@ -202,11 +202,11 @@ def aucroc(probs, labels) -> float:
     """
     probs = _as_numpy(probs).astype(np.float64)
     labels = _as_numpy(labels).astype(np.int64)
-    assert np.all((probs <= 1.0) & (probs >= 0.0)), "Probabilities must be between 0 and 1"
-    assert np.all((labels == 0) | (labels == 1)), "Labels must be binary (0 or 1)"
+    assert np.all((probs <= 1.0) & (probs >= 0.0)), "probabilities outside the [0, 1] range"
+    assert np.all((labels == 0) | (labels == 1)), "expected binary labels, got values outside {0, 1}"
     if not (np.any(labels == 0) and np.any(labels == 1)):
-        LOGGER.warning("ROC AUC calculation got only one label. Score not "
-                       "defined here, setting it to 0.")
+        LOGGER.warning("AUROC is undefined with a single label class "
+                       "present; reporting 0.")
         return 0.0
     return float(_rank_auc(probs, labels))
 

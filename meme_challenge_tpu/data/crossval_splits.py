@@ -47,8 +47,7 @@ def generate_crossval_splits(data_path: str, dev_size: int = 300,
     for filename in ["train.jsonl", "dev_seen.jsonl"]:
         path = os.path.join(data_path, filename)
         assert os.path.isfile(path), (
-            "Tried to create cross validation splits, but file could not be "
-            "found at %s" % path)
+            "Cross-validation source file missing: %s" % path)
         with open(path, "r") as f:
             json_list = [json.loads(line) for line in f if line.strip()]
         if filename == "dev_seen.jsonl" and use_dev_set:
@@ -76,7 +75,7 @@ def generate_crossval_splits(data_path: str, dev_size: int = 300,
                            for v in exmp_by_text.values() if len(v) > 1]
         confounder_idxs = np.array(
             [v for vl in confounder_list for v in vl], dtype=np.int32)
-        logger.info("Number of confounders: %i (sum: %i)",
+        logger.info("Confounder groups: %i (members: %i)",
                     len(confounder_list), confounder_idxs.shape[0])
 
         dev_idx_by_split: List[list] = []
@@ -138,8 +137,8 @@ def generate_crossval_splits(data_path: str, dev_size: int = 300,
                           for d in train_idx_by_split]
         label_avgs = [sum(d["label"] for d in dlist) * 1.0 / len(dlist)
                       for dlist in dev_by_split_records]
-        logger.info("Label averages in test set: %s", label_avgs)
-        logger.info("Test set lengths: %s",
+        logger.info("Per-test-set label means: %s", label_avgs)
+        logger.info("Per-test-set sizes: %s",
                     [len(d) for d in dev_by_split_records])
 
     out_dir = crossval_dir(data_path, dev_size, use_dev_set)
@@ -162,6 +161,6 @@ def generate_crossval_splits(data_path: str, dev_size: int = 300,
             os.path.join(out_dir, "dev_%s.jsonl" % str(split_id).zfill(2)),
             dev_set)
         label_avg = sum(d["label"] for d in dev_set) * 1.0 / len(dev_set)
-        logger.info("Exported split %i with %4.2f%% hateful memes in "
-                    "validation set.", split_id, 100.0 * label_avg)
+        logger.info("Split %i written (validation positive rate %4.2f%%).",
+                    split_id, 100.0 * label_avg)
     return out_dir

@@ -52,7 +52,7 @@ class TwitterHatespeechDataset:
     def __init__(self, filepath: str, tokenizer=None, max_txt_len: int = 64,
                  return_ids: bool = False):
         assert os.path.isfile(filepath), (
-            'Dataset file cannot be found: "%s".' % filepath)
+            'No dataset file at "%s".' % filepath)
         assert filepath.endswith(".csv"), (
             'Dataset file is expected to be a CSV file: "%s".' % filepath)
         self.filepath = filepath

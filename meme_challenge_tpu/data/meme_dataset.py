@@ -94,7 +94,7 @@ class MemeDataset:
             records = []
             for path in filepath:
                 assert os.path.isfile(path), (
-                    'Dataset file cannot be found: "%s".' % path)
+                    'No dataset file at "%s".' % path)
                 assert path.endswith(".jsonl"), (
                     'The filepath requires a JSON list file (".jsonl"): '
                     '"%s"' % path)
@@ -105,7 +105,7 @@ class MemeDataset:
                 p.split("/")[-1].split(".")[0] for p in filepath)
         else:
             assert os.path.isfile(filepath), (
-                'Dataset file cannot be found: "%s".' % filepath)
+                'No dataset file at "%s".' % filepath)
             assert filepath.endswith(".jsonl"), (
                 'The filepath requires a JSON list file (".jsonl"): "%s"'
                 % filepath)
@@ -183,9 +183,8 @@ class MemeDataset:
         """Access a data point by its dataset id (dataset_template.py:138-147)."""
         where = np.where(self.ids == data_id)[0]
         if where.shape[0] == 0:
-            logger.warning(
-                'Tried to access data id "%s", but is not present in the '
-                "dataset.", data_id)
+            logger.warning('Unknown sample id "%s" for this dataset.',
+                           data_id)
             return None
         return self.batch(where[:1])
 
@@ -338,10 +337,10 @@ class ConfounderSampler:
             (self.confounders if text in confounder_text
              else self.non_confounders).append(idx)
         logger.info(
-            "Found %i text confounders and %i non-confounders in dataset %s "
-            "(%i examples, %4.2f%% confounders)",
-            len(self.confounders), len(self.non_confounders),
-            self.dataset.name, len(self.dataset),
+            "Dataset %s: %i confounder-text members vs %i others out of %i "
+            "examples (%4.2f%%)",
+            self.dataset.name, len(self.confounders),
+            len(self.non_confounders), len(self.dataset),
             100.0 * len(self.confounders) / max(len(self.dataset), 1))
 
     def _generate_sample_list(self) -> None:

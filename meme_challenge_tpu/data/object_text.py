@@ -37,11 +37,11 @@ class ObjectTextDataset:
         return_ids: bool = False,
     ):
         assert os.path.isfile(meme_filepath), (
-            'Meme dataset file cannot be found: "%s".' % meme_filepath)
+            'No meme jsonl at "%s".' % meme_filepath)
         assert os.path.isfile(object_filepath), (
-            'Object dataset file cannot be found: "%s".' % object_filepath)
+            'No object annotation file at "%s".' % object_filepath)
         assert os.path.isfile(object_to_text_filepath), (
-            'Object to text file cannot be found: "%s".'
+            'No object-to-text mapping at "%s".'
             % object_to_text_filepath)
         assert meme_filepath.endswith(".jsonl")
         assert object_filepath.endswith(".npz")
@@ -73,7 +73,7 @@ class ObjectTextDataset:
         for i, data_id in enumerate(self.ids):
             idx_list = np.where(arr_ids == data_id)[0]
             assert len(idx_list) > 0, (
-                "Could not find ID in object file: %i." % data_id)
+                "Object annotations missing for id %i." % data_id)
             arr_idx[i] = idx_list[0]
         self.objects = arr_objects[arr_idx]
         self.object_probs = arr_probs[arr_idx]

@@ -57,8 +57,8 @@ def align_ids(csv_dicts: List[Dict[str, np.ndarray]]) -> List[dict]:
                 if "gt" in d:
                     gt = int(d["gt"][row])
                     assert labels[r] in (-1, gt), (
-                        "Label mismatch in the predictions. Something must "
-                        "be wrong with the predictions.")
+                        "conflicting ground-truth labels for the same id "
+                        "across prediction files.")
                     labels[r] = gt
         aligned.append({"orig": d, "id": all_ids, "proba": proba,
                         "label": label})
@@ -391,7 +391,7 @@ def ea_ensemble_finder(predictions: np.ndarray, labels: np.ndarray,
             best_score = hof_fit
             best_gen = gen
         elif (gen - best_gen) >= 50:
-            logger.info("[EA search] Reinitialize population")
+            logger.info("[EA] population reset (stagnation)")
             population = new_population()
             fits = fitness(population)
             best_gen = gen
@@ -442,7 +442,7 @@ def find_ensemble(dev_files: List[str], test_files,
         predictions, dev_gt, num_weights=len(dev_preds),
         weight_range=weight_range, max_weights=max_weights)
     if run_ea:
-        logger.info("Starting EA to find optimal weights...")
+        logger.info("Running the weight-search EA...")
         import jax
 
         use_device = (ea_impl == "device"
@@ -461,12 +461,12 @@ def find_ensemble(dev_files: List[str], test_files,
     best_dict["proba"] = create_ensemble_prediction(
         predictions, best_config["weights"], best_config["on_logits"])
     threshold = find_optimal_threshold(best_dict["proba"], dev_gt)
-    logger.info("Using threshold %4.3f for discrete predictions.", threshold)
+    logger.info("Binarizing predictions at threshold %4.3f.", threshold)
     best_dict["label"] = (best_dict["proba"] > threshold).astype(np.int32)
     export_csv(best_dict, os.path.join(
         output_dir, model_name + "_" + dev_name + "_ensemble.csv"))
     best_acc = float((best_dict["label"] == dev_gt).mean())
-    logger.info("Best score on %s: %4.2f%% (accuracy=%4.2f%%)",
+    logger.info("Top %s score: %4.2f%% (acc %4.2f%%)",
                 dev_name, best_score * 100.0, best_acc * 100.0)
 
     if test_files and not isinstance(test_files[0], list):
@@ -531,6 +531,6 @@ def main(argv=None):
 
 if __name__ == "__main__":
     logging.basicConfig(
-        format="%(asctime)s : %(levelname)s - %(message)s",
-        datefmt="%d/%m/%Y %I:%M:%S %p", level=logging.INFO)
+        format="%(asctime)s %(levelname)s %(name)s | %(message)s",
+        datefmt="%Y-%m-%d %H:%M:%S", level=logging.INFO)
     main()

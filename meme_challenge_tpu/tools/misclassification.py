@@ -30,7 +30,7 @@ def copy_misclassified_imgs(results: dict, img_dir: str,
         img_name = str(int(results["id"][i])).zfill(5)
         img_file = os.path.join(img_dir, img_name + ".png")
         assert os.path.isfile(img_file), (
-            "Could not find image {}".format(img_file))
+            "image file missing: {}".format(img_file))
         label = "hateful" if results["gt"][i] == 1 else "not_hateful"
         dest = os.path.join(save_dir, label, img_name + ".png")
         shutil.copy(img_file, dest)
@@ -41,11 +41,11 @@ def copy_misclassified_imgs(results: dict, img_dir: str,
 def main(argv=None):
     parser = argparse.ArgumentParser()
     parser.add_argument("--results_file", type=str, required=True,
-                        help="CSV file containing predictions")
+                        help="prediction CSV to analyze")
     parser.add_argument("--img_dir", type=str,
-                        help="Directory containing original images")
+                        help="source image directory")
     parser.add_argument("--save_dir", type=str,
-                        help="Directory to save misclassified images")
+                        help="output directory for the misclassified copies")
     args = parser.parse_args(argv)
 
     results = load_predictions(args.results_file)
@@ -55,8 +55,8 @@ def main(argv=None):
     print(ids)
 
     if args.save_dir is not None:
-        assert args.img_dir, "Please specify the image directory"
-        assert os.path.isdir(args.img_dir), "Invalid image directory"
+        assert args.img_dir, "an image directory is required to copy images"
+        assert os.path.isdir(args.img_dir), "image directory not found"
         os.makedirs(os.path.join(args.save_dir, "hateful"), exist_ok=True)
         os.makedirs(os.path.join(args.save_dir, "not_hateful"), exist_ok=True)
         copy_misclassified_imgs(results, args.img_dir, args.save_dir)

@@ -85,7 +85,7 @@ def main(argv=None):
                         default="./dataset/memotion_dataset")
     args, _ = parser.parse_known_args(argv)
     assert os.path.exists(args.data_path), (
-        "[!] The provided data path does not exist!")
+        "memotion data path does not exist")
     generate_jsonl_file(args.data_path)
     rename_img_feats(os.path.join(args.data_path, "img_feats"))
 

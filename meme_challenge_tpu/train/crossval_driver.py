@@ -61,7 +61,7 @@ def train_crossval(
 
     cv_path = crossval_dir(config.data_path, dev_size, use_dev_set)
     if not os.path.isdir(cv_path) or not glob(os.path.join(cv_path, "*.jsonl")):
-        logger.info("Creating cross-validation splits for dev size %i",
+        logger.info("Generating crossval splits (dev size %i)",
                     dev_size)
         generate_crossval_splits(config.data_path, dev_size=dev_size,
                                  use_dev_set=use_dev_set)
@@ -73,7 +73,7 @@ def train_crossval(
     if num_folds == -1:
         num_folds = len(dev_sets)
     if use_dev_set:
-        assert len(test_sets) >= num_folds, "Could not find enough test sets."
+        assert len(test_sets) >= num_folds, "Fewer test sets than expected."
 
     base_name, base_ext = (config.model_save_name.rsplit(".", 1)
                            if "." in config.model_save_name

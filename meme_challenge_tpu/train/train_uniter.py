@@ -272,6 +272,6 @@ def main(argv=None):
 
 if __name__ == "__main__":
     logging.basicConfig(
-        format="%(asctime)s : %(levelname)s - %(message)s",
+        format="%(asctime)s %(levelname)s %(name)s | %(message)s",
         datefmt="%d/%m/%Y %I:%M:%S %p", level=logging.INFO)
     main()
