@@ -349,17 +349,53 @@ class TaskLoader:
         # driver gathers them on device (train/steps.gather_micro). The
         # batchers' host RNG draws are IDENTICAL in both modes.
         self.index_batches = index_batches
+        # epoch-position tracking for O(1) checkpoint resume (state() /
+        # resume_iter()). Shared loader-level state: at most ONE live
+        # iterator per loader (the MetaLoader's) — a second concurrent
+        # iterator would clobber the position.
+        self._order: Optional[List[int]] = None
+        self._pos = 0
 
     def __len__(self) -> int:
         return (len(self.dataset) + self.batch_size - 1) // self.batch_size
 
+    def state(self) -> Dict:
+        """Snapshot of the current epoch position: the shuffled order plus
+        the next batch's start offset. ``order`` is None before the first
+        batch of the run (no epoch started — resume then just starts one)."""
+        return {
+            "order": None if self._order is None
+            else [int(i) for i in self._order],
+            "pos": int(self._pos),
+        }
+
+    def resume_iter(self, state: Dict) -> Iterator[Dict[str, np.ndarray]]:
+        """Iterator continuing the epoch recorded by :meth:`state` — no
+        fresh shuffle, so the remaining batches (and every global-RNG draw
+        the batcher makes for them) equal the interrupted run's."""
+        self._order = [int(i) for i in state["order"]]
+        self._pos = int(state["pos"])
+        return self._epoch_iter(fresh=False)
+
     def __iter__(self) -> Iterator[Dict[str, np.ndarray]]:
-        order = list(range(len(self.dataset)))
-        random.shuffle(order)
+        return self._epoch_iter(fresh=True)
+
+    def _epoch_iter(self, fresh: bool) -> Iterator[Dict[str, np.ndarray]]:
+        # generator: with fresh=True the shuffle draw happens on the FIRST
+        # next(), not at iter() time — MetaLoader creates iterators for all
+        # tasks up front, and an eager shuffle would reorder the global RNG
+        # stream that the draw-parity oracles pin
+        if fresh:
+            order = list(range(len(self.dataset)))
+            random.shuffle(order)
+            self._order = order
+            self._pos = 0
         bs = self.batch_size
         ds = self.dataset
-        for start in range(0, len(order), bs):
-            chunk = np.asarray(order[start:start + bs])
+        while self._pos < len(self._order):
+            start = self._pos
+            self._pos = start + bs  # consumed once this next() returns
+            chunk = np.asarray(self._order[start:start + bs])
             valid = chunk.shape[0]
             if valid < bs:
                 chunk = np.concatenate(
@@ -407,6 +443,35 @@ class MetaLoader:
             self.sampling_pools.extend([name] * ratio)
         self.accum_steps = accum_steps
         self.step = 0
+
+    def state(self) -> Dict:
+        """Snapshot for O(1) checkpoint resume: the micro-draw counter plus
+        every task loader's epoch position. Only valid on an accumulation
+        boundary — mid-group the currently-held task lives in generator
+        state that a snapshot cannot carry."""
+        assert self.step % self.accum_steps == 0, (
+            "MetaLoader.state() mid-accumulation-group: the held task is "
+            "not recoverable — snapshot only on optimizer-step boundaries")
+        return {"step": int(self.step),
+                "loaders": {name: loader.state()
+                            for name, loader in self.name2loader.items()}}
+
+    def set_state(self, state: Dict) -> None:
+        """Reposition every task iterator to a :meth:`state` snapshot.
+        Restore the host RNG state saved alongside it BEFORE iterating —
+        the next task choice and the batchers' draws both come from the
+        global stream."""
+        if set(state["loaders"]) != set(self.name2loader):
+            raise ValueError(
+                "resume record's task set %s does not match this "
+                "MetaLoader's %s — the checkpoint belongs to a run with a "
+                "different task mix" % (sorted(state["loaders"]),
+                                        sorted(self.name2loader)))
+        self.step = int(state["step"])
+        for name, ls in state["loaders"].items():
+            loader = self.name2loader[name]
+            self.name2iter[name] = (iter(loader) if ls["order"] is None
+                                    else loader.resume_iter(ls))
 
     def __iter__(self):
         task = self.sampling_pools[0]

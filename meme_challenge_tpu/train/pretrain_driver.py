@@ -45,6 +45,24 @@ from meme_challenge_tpu.train.steps import (
 logger = logging.getLogger("meme_challenge_tpu.pretrain")
 
 
+def _encode_host_rng():
+    """JSON-serializable (python, numpy) global-RNG state pair."""
+    py_state = random.getstate()
+    np_state = np.random.get_state()
+    return (
+        [py_state[0], list(py_state[1]), py_state[2]],
+        [np_state[0], np.asarray(np_state[1]).tolist(),
+         int(np_state[2]), int(np_state[3]), float(np_state[4])],
+    )
+
+
+def _decode_host_rng(py_enc, np_enc):
+    v, st, gauss = py_enc
+    name, keys, pos, has_g, cached = np_enc
+    return ((v, tuple(st), gauss),
+            (name, np.asarray(keys, np.uint32), pos, has_g, cached))
+
+
 def _task_prepare(model: UniterForPretraining, batch, task: str, data=None):
     """Per-sample input assembly shared by the scan and fused steps.
 
@@ -175,16 +193,18 @@ class PretrainTrainer:
         self.root_rng = prng_key(c.seed)
         self._task_steps: Dict[str, Callable] = {}
         self._task_multi_steps: Dict[str, Callable] = {}
-        # kill-and-resume bookkeeping (save_checkpoint/load_checkpoint):
-        # host-RNG state at stream creation + micro-draws consumed since.
-        # _stream_draws counts next() calls THIS instance has made on the
-        # meta_loader (whose iterator positions persist across iter() calls,
-        # reference MetaLoader semantics) — resume uses it to tell a fresh
-        # process (replay from origin) from an in-process continuation
-        # (stream already positioned; replaying would double-consume)
+        # kill-and-resume bookkeeping (save_checkpoint/load_checkpoint).
+        # v2 records snapshot the host-RNG states AT SAVE TIME plus every
+        # TaskLoader's epoch position — resume is O(1). Legacy (r4) records
+        # hold the states at stream ORIGIN + total micro-draws consumed;
+        # loading one sets _legacy_replay and train() replays that many
+        # draws. _stream_draws counts next() calls THIS instance has made
+        # on the meta_loader — the legacy path uses it to tell a fresh
+        # process from an in-process continuation.
         self._stream_rng0 = (random.getstate(), np.random.get_state())
         self._consumed_micros = 0
         self._stream_draws = 0
+        self._legacy_replay: Optional[int] = None
         self.saver = ModelSaver(
             f"{c.model_path}/{c.model_save_name}")
 
@@ -288,22 +308,20 @@ class PretrainTrainer:
         with an old stream record). Mid-run kill-and-resume for long
         pretraining runs, which the final ModelSaver dump cannot provide.
 
-        Restoring the FINAL host-RNG state is not enough here: the
+        Restoring the FINAL host-RNG state alone is not enough: the
         MetaLoader's TaskLoaders are mid-epoch iterators (a shuffled pass
-        each), and their positions are not RNG state. The record instead
-        holds the RNG states AT STREAM CREATION plus the number of
-        micro-batch draws consumed; resume re-seeds to the origin and
-        replays that many ``next()`` calls — identical draws reproduce
-        both the iterator positions and the RNG state."""
+        each), and their positions are not RNG state. The record therefore
+        pairs the at-save RNG states with every loader's epoch position
+        (MetaLoader.state()) — resume restores both in O(1). (The previous
+        format recorded the stream ORIGIN and replayed every draw since,
+        whose cost grew with run length; load_checkpoint still reads it.)"""
         from flax import serialization
 
-        py_state, np_state = self._stream_rng0
+        py_enc, np_enc = _encode_host_rng()
         stream_record = json.dumps({
-            "stream_py_rng": [py_state[0], list(py_state[1]), py_state[2]],
-            "stream_np_rng": [np_state[0],
-                              np.asarray(np_state[1]).tolist(),
-                              int(np_state[2]), int(np_state[3]),
-                              float(np_state[4])],
+            "rng_py": py_enc,
+            "rng_np": np_enc,
+            "meta": self.meta_loader.state(),
             "consumed_micros": int(self._consumed_micros),
         })
         payload = {
@@ -321,11 +339,13 @@ class PretrainTrainer:
 
     def load_checkpoint(self, path: str) -> int:
         """Restore a :meth:`save_checkpoint` dump; returns the next
-        optimizer step to run. Sets ``_stream_rng0``/``_consumed_micros``
-        so :meth:`train` can replay the batch stream to its position.
-        Dropout-RNG continuity is automatic: the per-step stream derives
-        from ``fold_in(root, state.step)`` and ``state.step`` is
-        restored."""
+        optimizer step to run. A position record (the current format)
+        restores the host RNGs and repositions every task iterator right
+        here — O(1), no replay. A legacy origin record only sets
+        ``_stream_rng0``/``_legacy_replay`` so :meth:`train` can replay
+        the batch stream to its position. Dropout-RNG continuity is
+        automatic either way: the per-step stream derives from
+        ``fold_in(root, state.step)`` and ``state.step`` is restored."""
         from flax import serialization
 
         template = {
@@ -342,11 +362,16 @@ class PretrainTrainer:
                                 step=jnp.asarray(payload["step"],
                                                  jnp.int32))
         m = json.loads(payload["stream_record"])
-        v, st, gauss = m["stream_py_rng"]
-        py_state = (v, tuple(st), gauss)
-        name, keys, pos, has_g, cached = m["stream_np_rng"]
-        np_state = (name, np.asarray(keys, np.uint32), pos, has_g, cached)
-        self._stream_rng0 = (py_state, np_state)
+        if "meta" in m:
+            py_state, np_state = _decode_host_rng(m["rng_py"], m["rng_np"])
+            random.setstate(py_state)
+            np.random.set_state(np_state)
+            self.meta_loader.set_state(m["meta"])
+            self._legacy_replay = None
+        else:
+            self._stream_rng0 = _decode_host_rng(
+                m["stream_py_rng"], m["stream_np_rng"])
+            self._legacy_replay = int(m["consumed_micros"])
         self._consumed_micros = int(m["consumed_micros"])
         return int(payload["next_step"])
 
@@ -375,44 +400,34 @@ class PretrainTrainer:
         if checkpoint_path and os.path.isfile(checkpoint_path):
             draws_before = self._stream_draws
             start_step = self.load_checkpoint(checkpoint_path)
-            if draws_before == 0:
-                # fresh process: re-seed to the ORIGINAL run's stream
-                # origin; the draws are replayed below so loader positions
-                # + RNG state both line up
+            if self._legacy_replay is None:
+                # position record: load_checkpoint already restored the
+                # host RNGs and repositioned every task iterator — O(1)
+                replay = 0
+            elif draws_before == 0:
+                # legacy origin record, fresh process: re-seed to the
+                # ORIGINAL run's stream origin; the draws are replayed
+                # below so loader positions + RNG state both line up
                 random.setstate(self._stream_rng0[0])
                 np.random.set_state(self._stream_rng0[1])
-                replay = self._consumed_micros
+                replay = self._legacy_replay
             elif draws_before == self._consumed_micros:
-                # in-process continuation (e.g. a second train() call on
-                # the same trainer after it wrote this checkpoint): the
-                # meta_loader's iterators are ALREADY at the checkpoint's
-                # position — replaying from origin would double-consume
+                # legacy record, in-process continuation: the meta_loader's
+                # iterators are ALREADY at the checkpoint's position —
+                # replaying from origin would double-consume
                 replay = 0
             else:
                 raise RuntimeError(
                     f"cannot resume from {checkpoint_path}: this trainer's "
                     f"stream has consumed {draws_before} micro-draws but "
-                    f"the checkpoint records {self._consumed_micros} — the "
-                    "in-process stream no longer matches. Construct a "
-                    "fresh trainer (fresh MetaLoader) to resume.")
+                    f"the legacy checkpoint records "
+                    f"{self._consumed_micros} — the in-process stream no "
+                    "longer matches. Construct a fresh trainer (fresh "
+                    "MetaLoader) to resume.")
             self._stream_draws = self._consumed_micros
             logger.info("resuming pretraining from %s at step %i "
                         "(replaying %i micro-draws)",
                         checkpoint_path, start_step, replay)
-        else:
-            if checkpoint_path and self._stream_draws > 0:
-                # a checkpoint written now would record the CURRENT RNG
-                # state as the stream origin, but the meta_loader's
-                # iterators are mid-epoch — a fresh process replaying from
-                # that origin would start from fresh iterators and diverge
-                raise RuntimeError(
-                    "checkpoint_path given on a trainer whose stream has "
-                    "already been consumed — resume replay needs the "
-                    "stream origin to coincide with fresh loader "
-                    "iterators. Construct a fresh trainer to checkpoint.")
-            self._stream_rng0 = (random.getstate(), np.random.get_state())
-            self._consumed_micros = 0
-            self._stream_draws = 0
         # (task, DEVICE loss buffer) per dispatch — kept in-flight so the
         # async dispatch overlaps host batch assembly (incl. the vectorized
         # MLM masking, data/pretrain.py) with device compute; a per-step

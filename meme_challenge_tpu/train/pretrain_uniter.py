@@ -219,8 +219,12 @@ def main(argv=None):
         ot_weight=args.ot_weight,
         data_arrays=(dataset.device_arrays()
                      if config.device_resident_data else None))
+    # resume file keyed by model_save_name: two runs sharing a model_path
+    # (different task mixes, different dumps) must not pick up each other's
+    # stream records — set_state would reject the foreign task set
     ckpt_path = (None if config.no_model_checkpoints else
-                 os.path.join(config.model_path, "pretrain_resume.msgpack"))
+                 os.path.join(config.model_path,
+                              f"{config.model_save_name}.resume.msgpack"))
     losses = trainer.train(checkpoint_path=ckpt_path,
                            checkpoint_every=args.checkpoint_every or None)
     logger.info("final-epoch mean losses: %s",

@@ -500,9 +500,11 @@ def test_pretrain_cli_and_finetune_handoff(synth, tmp_path):
 def test_pretrain_kill_and_resume(corpus, tmp_path):
     """PretrainTrainer checkpoint/resume: a run killed mid-way and resumed
     from the full-state checkpoint (params + optimizer + step + host-RNG
-    sidecar) reproduces the uninterrupted run exactly — the MetaLoader's
-    task draws and the batchers' masking draws continue where they left
-    off, and the dropout stream continues via the restored state.step."""
+    + loader positions, one atomic file) reproduces the uninterrupted run
+    exactly — the MetaLoader's task draws and the batchers' masking draws
+    continue where they left off via the position record (O(1), no draw
+    replay), and the dropout stream continues via the restored
+    state.step. Legacy r4 origin-replay records still load."""
     from meme_challenge_tpu.models.uniter import UniterForPretraining
     from meme_challenge_tpu.train.pretrain_driver import PretrainTrainer
     from meme_challenge_tpu.train.pretrain_init import init_pretrain_params
@@ -549,6 +551,8 @@ def test_pretrain_kill_and_resume(corpus, tmp_path):
     import shutil
     ck_mid = str(tmp_path / "mid.msgpack")  # the resumed run rewrites ck
     shutil.copy(ck, ck_mid)
+    ck_legacy = str(tmp_path / "legacy.msgpack")
+    shutil.copy(ck, ck_legacy)
 
     random.seed(99)  # must be irrelevant: the record restores the stream
     resumed = make_trainer()
@@ -578,14 +582,64 @@ def test_pretrain_kill_and_resume(corpus, tmp_path):
                     jax.tree.leaves(cont.state.params)):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=2e-6)
 
-    # misaligned in-process stream → hard error, not silent divergence
-    # (ck_mid records 12 consumed micro-draws; cont's stream has made 24)
-    with pytest.raises(RuntimeError, match="no longer matches"):
-        cont.train(total_steps=13, save_checkpoint=False,
-                   checkpoint_path=ck_mid, checkpoint_every=100)
-    # and starting to CHECKPOINT on an already-consumed stream is refused
-    # (its origin record could not be replayed by a fresh process)
-    with pytest.raises(RuntimeError, match="already been consumed"):
-        cont.train(total_steps=13, save_checkpoint=False,
-                   checkpoint_path=str(tmp_path / "fresh.msgpack"),
-                   checkpoint_every=100)
+    # position records allow REWINDING an in-process trainer to an older
+    # checkpoint (the r4 origin-replay format had to refuse a stream
+    # mismatch): loading ck_mid restores the step-6 RNG states and
+    # repositions every task iterator, so retraining 6..12 lands on the
+    # uninterrupted trajectory again
+    cont.train(total_steps=12, save_checkpoint=False,
+               checkpoint_path=ck_mid, checkpoint_every=100)
+    assert int(cont.state.step) == 12
+    for a, b in zip(jax.tree.leaves(full.state.params),
+                    jax.tree.leaves(cont.state.params)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=2e-6)
+
+    # ... and checkpointing may START mid-stream (the record snapshots the
+    # CURRENT positions, not a replay origin — also refused before): h1
+    # trains 6 steps uncheckpointed, starts checkpointing for 3 more, is
+    # "killed"; a fresh process finishes the last 3 from the checkpoint
+    # and still lands on the uninterrupted 12-step trajectory
+    ck3 = str(tmp_path / "mid_stream_start.msgpack")
+    random.seed(31)
+    h1 = make_trainer()
+    h1.train(total_steps=6, save_checkpoint=False)
+    h1.train(total_steps=3, save_checkpoint=False,
+             checkpoint_path=ck3, checkpoint_every=100)
+    assert int(h1.state.step) == 9
+    h2 = make_trainer()
+    h2.train(total_steps=6, save_checkpoint=False,
+             checkpoint_path=ck3, checkpoint_every=100)
+    assert int(h2.state.step) == 12
+    for a, b in zip(jax.tree.leaves(full.state.params),
+                    jax.tree.leaves(h2.state.params)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=2e-6)
+
+    # legacy r4 origin-replay records still resume: rewrite the step-6
+    # checkpoint's stream record into the old format (origin RNG states +
+    # total consumed draws) and resume a fresh process from it
+    import json
+    from flax import serialization
+
+    probe = make_trainer()
+    template = {"params": probe.state.params,
+                "opt_state": probe.state.opt_state,
+                "step": 0, "next_step": 0, "stream_record": ""}
+    with open(ck_legacy, "rb") as f:
+        payload = serialization.from_bytes(template, f.read())
+    random.seed(31)  # the origin state both 12-step runs above started from
+    py0, np0 = random.getstate(), np.random.get_state()
+    payload["stream_record"] = json.dumps({
+        "stream_py_rng": [py0[0], list(py0[1]), py0[2]],
+        "stream_np_rng": [np0[0], np.asarray(np0[1]).tolist(),
+                          int(np0[2]), int(np0[3]), float(np0[4])],
+        "consumed_micros": 12,
+    })
+    with open(ck_legacy, "wb") as f:
+        f.write(serialization.to_bytes(payload))
+    legacy = make_trainer()
+    legacy.train(total_steps=12, save_checkpoint=False,
+                 checkpoint_path=ck_legacy, checkpoint_every=100)
+    assert int(legacy.state.step) == 12
+    for a, b in zip(jax.tree.leaves(full.state.params),
+                    jax.tree.leaves(legacy.state.params)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=2e-6)
