@@ -1012,6 +1012,15 @@ def main():
     signal.signal(signal.SIGTERM, _on_sigterm)
     atexit.register(_atexit_emit)
     extras = _line["extra_metrics"]
+    # Placeholder line FIRST: a kill during startup/probe/first-compile may
+    # arrive while the main thread is blocked in C++ (XLA compile, relay
+    # recv), where the Python SIGTERM handler is deferred indefinitely and a
+    # follow-up SIGKILL leaves nothing. With this line the tail always
+    # parses, whatever instant the run dies at.
+    extras["note"] = ("startup — placeholder line, overwritten by richer "
+                      "lines as metrics land")
+    _emit()
+    del extras["note"]
 
     # Relay watchdog: the first in-process device contact would hang
     # UNINTERRUPTIBLY if the tunnel is down — probe in a subprocess with a

@@ -30,6 +30,25 @@ jax.config.update("jax_platforms", "cpu")
 jax.config.update("jax_default_matmul_precision", "highest")
 
 
+def pytest_addoption(parser):
+    parser.addoption(
+        "--runslow", action="store_true", default=False,
+        help="also run tests marked slow — the heavy executed-reference "
+             "oracles and end-to-end CLI runs. The default (fast) tier "
+             "finishes in minutes; the full suite is ~90 CPU-minutes "
+             "single-process (use pytest-xdist -n auto on multi-core).")
+
+
+def pytest_collection_modifyitems(config, items):
+    if config.getoption("--runslow"):
+        return
+    skip_slow = pytest.mark.skip(
+        reason="slow tier: pass --runslow for the full suite")
+    for item in items:
+        if "slow" in item.keywords:
+            item.add_marker(skip_slow)
+
+
 @pytest.fixture
 def rng():
     return np.random.RandomState(0)
