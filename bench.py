@@ -354,20 +354,55 @@ def _build_finetune(ucfg, batch=BATCH, accum=ACCUM, fuse_accum=False):
         device_batch
 
 
-def bench_headline(fuse_accum=False):
-    """Recipe throughput. Two recipe-faithful step shapes exist:
+def bench_headline(variant="fused"):
+    """Recipe throughput. Three recipe-faithful step shapes exist:
 
-    - ``fuse_accum=False``: the reference's literal b16 × accum-2 scan.
-    - ``fuse_accum=True``: ONE fused fwd/bwd over the flattened batch-32
+    - ``"scan"``: the reference's literal b16 × accum-2 scan, one
+      optimizer step per dispatch.
+    - ``"fused"``: ONE fused fwd/bwd over the flattened batch-32
       (exact mean-of-micro-means loss semantics — steps._train_step_body;
-      ``--fuse_accum`` in the CLI). Which is faster is WINDOW-dependent on
-      the axon relay (r4: fused +34% in a high-launch-overhead window;
-      r2 measured the scan ~17% faster in a fast window), so main()
-      measures both and headlines the better, recording each.
+      ``--fuse_accum`` in the CLI), one optimizer step per dispatch.
+    - ``"fused_chunked_k8"``: the SHIPPED Trainer dispatch — 8 fused
+      optimizer steps per jitted lax.scan call (train/steps.py
+      make_train_multi_step, the trainer's steps_per_dispatch default),
+      which amortizes the relay launch overhead across the chunk. The r5
+      same-window sweep measured it +5.5% over per-step fused dispatch
+      (scripts/mfu_sweep.py).
+
+    Which is fastest is WINDOW-dependent on the axon relay (r4: fused
+    +34% over scan in a high-launch-overhead window; r2 measured the scan
+    ~17% faster in a fast window), so main() measures all three and
+    headlines the best, recording each.
     """
     ucfg = UniterConfig(dtype="bfloat16", **PERF_STORAGE)
-    _, _, step, state, batch = _build_finetune(ucfg, fuse_accum=fuse_accum)
-    sec = _time_steps(step, state, batch)
+    if variant == "fused_chunked_k8":
+        from meme_challenge_tpu.train.steps import make_train_multi_step
+
+        K = 8
+        model, params, _, state, device_batch = _build_finetune(
+            ucfg, fuse_accum=True)
+        tcfg = TrainConfig(lr=3e-5, batch_size=BATCH,
+                           gradient_accumulation=ACCUM, pos_wt=1.8,
+                           scheduler="warmup_cosine", warmup_steps=500)
+        loss_fn = make_loss_fn(tcfg.loss_func, tcfg.pos_wt)
+        tx = _make_tx(tcfg, params)
+
+        def model_apply_train(params_, b, rng_):
+            return model.apply({"params": params_}, b, deterministic=False,
+                               rngs={"dropout": rng_})
+
+        multi = make_train_multi_step(model_apply_train, loss_fn, tx,
+                                      accum_steps=ACCUM,
+                                      steps_per_dispatch=K, fuse_accum=True)
+        chunk = jax.tree.map(
+            lambda x: jnp.broadcast_to(x[None], (K,) + x.shape),
+            device_batch)
+        sec = _time_steps(multi, state, chunk, steps=max(2, TIMED_STEPS // K),
+                          warmup=1) / K
+    else:
+        _, _, step, state, batch = _build_finetune(
+            ucfg, fuse_accum=(variant == "fused"))
+        sec = _time_steps(step, state, batch)
     return BATCH * ACCUM / sec
 
 
@@ -961,12 +996,12 @@ def _run_extra(fn, budget, retries):
 
 
 def _run_headline(only=None, on_variant=None):
-    """Measure BOTH recipe-faithful step shapes (see :func:`bench_headline`)
-    and headline the better; each variant's number is recorded in extras
-    via the returned detail dict. The FUSED variant runs first (the recent
-    best — its number becomes the provisional line as fast as possible);
-    the scan variant gets a retry (it is the round-over-round comparison
-    row). Per-variant timeouts are clamped to the remaining global budget,
+    """Measure the recipe-faithful step shapes (see :func:`bench_headline`)
+    and headline the best; each variant's number is recorded in extras
+    via the returned detail dict. The chunked variant runs first (the
+    shipped Trainer dispatch and the r5 sweep's best — its number becomes
+    the provisional line as fast as possible); the scan variant gets a
+    retry (it is the round-over-round comparison row). Per-variant timeouts are clamped to the remaining global budget,
     and a variant whose attempt can't be funded is marked skipped.
 
     ``only``: optional set of variant keys to measure (the salvage pass
@@ -976,8 +1011,10 @@ def _run_headline(only=None, on_variant=None):
     provisional result line the moment the first number lands."""
     detail = {}
     headline, err = 0.0, None
-    for fuse, key, attempts in ((True, "fused_accum_flat32", 1),
-                                (False, "scan_accum_b16x2", 2)):
+    for variant, key, attempts in (
+            ("fused_chunked_k8", "fused_chunked_k8", 1),
+            ("fused", "fused_accum_flat32", 1),
+            ("scan", "scan_accum_b16x2", 2)):
         if only is not None and key not in only:
             continue
         val, e = 0.0, None
@@ -987,7 +1024,7 @@ def _run_headline(only=None, on_variant=None):
                 e = "skipped: global bench budget"
                 break
             try:
-                val = _with_timeout(lambda: bench_headline(fuse), armed)
+                val = _with_timeout(lambda: bench_headline(variant), armed)
                 e = None
                 break
             except Exception as ex:  # noqa: BLE001

@@ -77,9 +77,10 @@ def test_run_headline_provisional_callback():
     """main() emits a provisional line after EACH variant via on_variant —
     the callback must see the running detail and best value."""
     seen = []
+    vals = {"fused_chunked_k8": 105.0, "fused": 100.0, "scan": 90.0}
 
-    def fake_headline(fuse):
-        return 100.0 if fuse else 90.0
+    def fake_headline(variant):
+        return vals[variant]
 
     orig = bench.bench_headline
     bench.bench_headline = fake_headline
@@ -88,10 +89,12 @@ def test_run_headline_provisional_callback():
             on_variant=lambda d, best: seen.append((dict(d), best)))
     finally:
         bench.bench_headline = orig
-    assert headline == 100.0 and err is None
-    assert len(seen) == 2
-    assert seen[0] == ({"fused_accum_flat32": 100.0}, 100.0)
-    assert seen[1][1] == 100.0  # scan variant doesn't lower the best
+    assert headline == 105.0 and err is None
+    assert len(seen) == 3
+    # the chunked variant (the shipped Trainer dispatch, best known) runs
+    # FIRST so the provisional line carries a number as early as possible
+    assert seen[0] == ({"fused_chunked_k8": 105.0}, 105.0)
+    assert seen[2][1] == 105.0  # later variants don't lower the best
 
 
 def test_sigterm_emits_best_known_line():
@@ -199,16 +202,16 @@ def test_run_headline_only_filter():
     restrict which shapes are measured."""
     ran = []
 
-    def fake_headline(fuse):
-        ran.append(fuse)
-        return 100.0 if fuse else 90.0
+    def fake_headline(variant):
+        ran.append(variant)
+        return 100.0 if variant == "fused" else 90.0
 
     orig = bench.bench_headline
     bench.bench_headline = fake_headline
     try:
         headline, err, detail = bench._run_headline(
             only={"fused_accum_flat32"})
-        assert ran == [True]
+        assert ran == ["fused"]
         assert detail == {"fused_accum_flat32": 100.0}
         assert headline == 100.0 and err is None
     finally:
